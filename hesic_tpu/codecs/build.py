@@ -1,0 +1,34 @@
+"""Build helper for the native entropy-coding runtime.
+
+Compiles ``csrc/rans.cpp`` into ``librans_tpu.so`` with g++ on first import
+and caches the artifact next to the source (rebuilt when the source is newer).
+We deliberately avoid pybind11: the library exposes a plain C ABI consumed via
+ctypes, so there is no Python ABI coupling and no build-time Python deps.
+"""
+
+from __future__ import annotations
+
+import os
+import subprocess
+
+_THIS_DIR = os.path.dirname(os.path.abspath(__file__))
+SRC = os.path.join(_THIS_DIR, "csrc", "rans.cpp")
+LIB = os.path.join(_THIS_DIR, "librans_tpu.so")
+
+_CXX_FLAGS = ["-O3", "-std=c++17", "-shared", "-fPIC", "-Wall"]
+
+
+def _needs_build() -> bool:
+    if not os.path.exists(LIB):
+        return True
+    return os.path.getmtime(SRC) > os.path.getmtime(LIB)
+
+
+def build(force: bool = False) -> str:
+    """Compile the shared library if needed and return its path."""
+    if force or _needs_build():
+        cxx = os.environ.get("CXX", "g++")
+        cmd = [cxx, *_CXX_FLAGS, SRC, "-o", LIB + ".tmp"]
+        subprocess.run(cmd, check=True, capture_output=True, text=True)
+        os.replace(LIB + ".tmp", LIB)
+    return LIB
