@@ -1,0 +1,192 @@
+"""Host-side model wrapper: flax module + params + integer coder tables.
+
+The reference couples these inside nn.Module state (CompressionModel,
+models/priors.py:36-102, with dynamically-resized CDF buffers).  Here the
+traced module stays pure; this wrapper owns the trained params and the
+numpy CDF tables, implements ``update()``/``aux_loss()``, provides cached
+jitted entry points for the codec flows, and (de)serializes everything.
+"""
+
+from __future__ import annotations
+
+import pickle
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..entropy_models import (CdfTables, EntropyBottleneck,
+                              compress_with_indexes, decompress_with_indexes,
+                              gaussian_tables, get_scale_table,
+                              tables_from_pmf)
+
+
+class CompressionModel:
+    """Pairs a flax module with trained params and host coder state."""
+
+    def __init__(self, module, params):
+        self.module = module
+        # accept {'params': tree} or the bare tree
+        if isinstance(params, dict) and set(params.keys()) <= {
+                "params"} and "params" in params:
+            params = params["params"]
+        self.params = params
+        self.tables: Dict[str, CdfTables] = {}
+        self.scale_table: Optional[np.ndarray] = None
+        self._jitted: Dict[str, Any] = {}
+
+    # ---- construction ----
+
+    @classmethod
+    def init(cls, module, input_shapes, seed: int = 0):
+        """Initialize fresh params by tracing the module once."""
+        rngs = {"params": jax.random.PRNGKey(seed),
+                "noise": jax.random.PRNGKey(seed + 1)}
+        dummies = [jnp.zeros(s, jnp.float32) for s in input_shapes]
+        variables = module.init(rngs, *dummies, training=True)
+        return cls(module, variables["params"])
+
+    # ---- pure apply helpers ----
+
+    def apply(self, *args, method=None, rngs=None, **kwargs):
+        return self.module.apply({"params": self.params}, *args,
+                                 method=method, rngs=rngs, **kwargs)
+
+    def jit(self, method: str):
+        """Cached jitted `module.apply(..., method=method)` (eval mode)."""
+        fn = self._jitted.get(method)
+        if fn is None:
+            module = self.module
+
+            @jax.jit
+            def fn(variables, *args):
+                return module.apply(variables, *args, method=method)
+
+            self._jitted[method] = fn
+        return lambda *args: fn({"params": self.params}, *args)
+
+    def forward(self, *args, training: bool = False, rngs=None):
+        return self.module.apply({"params": self.params}, *args,
+                                 training=training, rngs=rngs)
+
+    def aux_loss(self):
+        return self.module.apply({"params": self.params}, method="aux_loss")
+
+    # ---- entropy-bottleneck host codec ----
+
+    def _eb_subparams(self, name: str):
+        parts = name.split("/")
+        p = self.params
+        for part in parts:
+            p = p[part]
+        return p
+
+    def eb_medians(self, name: str) -> np.ndarray:
+        sub = self._eb_subparams(name)
+        return np.asarray(sub["quantiles"][:, 0, 1])
+
+    def update(self, scale_table=None, force: bool = False):
+        """(Re)build integer CDF tables for all entropy models.
+
+        Reference: models/priors.py:89-102 + 282-286.
+        """
+        for name in getattr(self.module, "entropy_bottlenecks", ()):
+            if name in self.tables and not force:
+                continue
+            sub = self._eb_subparams(name)
+            channels = sub["quantiles"].shape[0]
+            eb = EntropyBottleneck(channels=channels)
+            pmf, tail, length, offset = eb.apply({"params": sub},
+                                                 method="pmf_data")
+            self.tables[name] = tables_from_pmf(
+                np.asarray(pmf), np.asarray(tail), np.asarray(length),
+                np.asarray(offset))
+        gc_names = getattr(self.module, "gaussian_conditionals", ())
+        if gc_names:
+            if self.scale_table is None or scale_table is not None or force:
+                table = (np.asarray(scale_table) if scale_table is not None
+                         else get_scale_table())
+                self.scale_table = table
+                gc_tables = gaussian_tables(table)
+                for name in gc_names:
+                    self.tables[name] = gc_tables
+        return self
+
+    def eb_compress(self, name: str, z) -> list[bytes]:
+        """Real-coder compress through the named entropy bottleneck.
+
+        z: (B, h, w, C) array.  Reference: entropy_models.py:413-423.
+        """
+        z = np.asarray(z)
+        medians = self.eb_medians(name)
+        symbols = np.round(z - medians).astype(np.int32)
+        indexes = np.broadcast_to(
+            np.arange(z.shape[-1], dtype=np.int32), z.shape)
+        return compress_with_indexes(symbols, indexes, self.tables[name])
+
+    def eb_decompress(self, name: str, strings: list[bytes],
+                      spatial_shape) -> jnp.ndarray:
+        h, w = int(spatial_shape[0]), int(spatial_shape[1])
+        medians = self.eb_medians(name)
+        c = medians.shape[0]
+        shape = (len(strings), h, w, c)
+        indexes = np.broadcast_to(np.arange(c, dtype=np.int32), shape)
+        symbols = decompress_with_indexes(strings, indexes, self.tables[name])
+        return jnp.asarray(symbols.astype(np.float32) + medians)
+
+    def gc_compress(self, name: str, y, indexes, means=None) -> list[bytes]:
+        """Gaussian-conditional compress given prebuilt scale-table indexes."""
+        y = np.asarray(y)
+        if means is not None:
+            symbols = np.round(y - np.asarray(means)).astype(np.int32)
+        else:
+            symbols = np.round(y).astype(np.int32)
+        return compress_with_indexes(symbols, np.asarray(indexes),
+                                     self.tables[name])
+
+    def gc_decompress(self, name: str, strings: list[bytes], indexes,
+                      means=None) -> jnp.ndarray:
+        symbols = decompress_with_indexes(strings, np.asarray(indexes),
+                                          self.tables[name])
+        out = symbols.astype(np.float32)
+        if means is not None:
+            out = out + np.asarray(means)
+        return jnp.asarray(out)
+
+    # ---- persistence ----
+
+    def config(self) -> dict:
+        cfg = {}
+        for field in ("N", "M", "K"):
+            if hasattr(self.module, field):
+                cfg[field] = getattr(self.module, field)
+        return cfg
+
+    def state_dict(self) -> dict:
+        return {
+            "module_class": type(self.module).__name__,
+            "config": self.config(),
+            "params": jax.tree_util.tree_map(np.asarray, self.params),
+            "tables": {k: v.state_dict() for k, v in self.tables.items()},
+            "scale_table": self.scale_table,
+        }
+
+    def save(self, path: str):
+        with open(path, "wb") as f:
+            pickle.dump(self.state_dict(), f)
+
+    def load_state_dict(self, state: dict):
+        self.params = jax.tree_util.tree_map(jnp.asarray, state["params"])
+        self.tables = {k: CdfTables.from_state_dict(v)
+                       for k, v in state.get("tables", {}).items()}
+        st = state.get("scale_table")
+        self.scale_table = None if st is None else np.asarray(st)
+        self._jitted.clear()
+        return self
+
+    @classmethod
+    def load(cls, module, path: str) -> "CompressionModel":
+        with open(path, "rb") as f:
+            state = pickle.load(f)
+        return cls(module, state["params"]).load_state_dict(state)
