@@ -4,6 +4,10 @@ from .codec import (FactorizedPriorCodec, JointAutoregressiveCodec,
 from .hesic import (HESIC, Enhancement, EnhancementBlock, HESICTogether,
                     IndependentEnhancement)
 from .hesic_codec import HESICCodec
+from .hesic_plus import HESICPlus, HESICPlusCodec, HESICPlusTogether
+from .dsic import (DSIC, DSICPlus, IndependentEnhancementNoWarp, CostVolume,
+                   GlobalContext, dense_warp)
+from .dsic_codec import DSICCodec
 from .priors import (FactorizedPrior, JointAutoregressiveHierarchicalPriors,
                      MeanScaleHyperprior, ScaleHyperprior)
 from .waseda import Cheng2020Anchor, Cheng2020Attention
@@ -23,6 +27,16 @@ __all__ = [
     "HESIC",
     "HESICCodec",
     "HESICTogether",
+    "HESICPlus",
+    "HESICPlusCodec",
+    "HESICPlusTogether",
+    "DSIC",
+    "DSICCodec",
+    "DSICPlus",
+    "IndependentEnhancementNoWarp",
+    "CostVolume",
+    "GlobalContext",
+    "dense_warp",
     "Enhancement",
     "EnhancementBlock",
     "IndependentEnhancement",

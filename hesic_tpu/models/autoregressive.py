@@ -2,23 +2,28 @@
 
 The reference implements both directions as per-pixel Python loops crossing
 the Python/C++ boundary at every pixel (models/priors.py:516-541 encode,
-:577-607 decode — the acknowledged hot spot ":519 Warning, this is slow").
+:577-607 decode — the acknowledged hot spot ":519 Warning, this is slow";
+doubled in the HESIC+ codec, ywz/mywork/newnet1_joint.py:793-1322).
 
 Here:
   * ENCODE is one on-device ``lax.scan`` over raster positions: each step is
-    a handful of small matmuls (context taps + entropy-parameter MLP), the
+    a handful of small matmuls (context taps + entropy-parameter MLP); the
     whole latent's symbols/indexes come back to the host in one transfer and
     are entropy-coded in one native call.
   * DECODE is inherently serial through the bitstream, so it runs on the
     host — but the per-row "upper" context (taps from already-decoded rows)
-    is computed as one (W, 10*M) x (10*M, 2*M) matmul per row, and only the
-    two left-neighbor taps + the 1x1 MLP run per pixel.  All weights cross
-    the boundary once.
+    is one (W, 10*M) x (10*M, 2*M) matmul per row; only the two
+    left-neighbor taps + the 1x1 MLP run per pixel.  All weights cross the
+    boundary once.
+
+The entropy-parameter MLP input is ``concat([pre, ctx, post])`` where `pre`
+is the hyper-synthesis output and `post` an optional extra conditioning map
+(HESIC+ feeds the re-encoded decoded-left latent there,
+newnet1_joint.py:659-665).
 """
 
 from __future__ import annotations
 
-from functools import partial
 from typing import NamedTuple
 
 import jax
@@ -41,19 +46,20 @@ class ArWeights(NamedTuple):
     ep_biases: tuple
 
 
-def _ep_layer_names(params) -> list[str]:
-    names = [k for k in params if k.startswith("entropy_parameters")]
+def _ep_layer_names(params, prefix: str) -> list[str]:
+    names = [k for k in params if k.startswith(prefix + "_")]
     return sorted(names, key=lambda s: int(s.rsplit("_", 1)[1]))
 
 
-def extract_ar_weights(params) -> ArWeights:
+def extract_ar_weights(params, ctx_name: str = "context_prediction",
+                       ep_prefix: str = "entropy_parameters") -> ArWeights:
     """Pull the autoregressive weights out of a model's param tree."""
-    ctx = params["context_prediction"]
+    ctx = params[ctx_name]
     k = jnp.asarray(ctx["kernel"])
     mask = raster_causal_mask(k.shape[0], k.shape[1], "A")
-    names = _ep_layer_names(params)
+    names = _ep_layer_names(params, ep_prefix)
     if len(names) != 3:
-        raise ValueError(f"expected 3 entropy_parameters convs, got {names}")
+        raise ValueError(f"expected 3 {ep_prefix} convs, got {names}")
     eps = [params[n] for n in names]
     return ArWeights(
         ctx_kernel=k * mask[:, :, None, None],
@@ -73,13 +79,12 @@ def _ep_mlp(feat, w: ArWeights):
     return g
 
 
-@partial(jax.jit, static_argnums=())
-def ar_encode_scan(w: ArWeights, y, params, scale_table):
+@jax.jit
+def ar_encode_scan(w: ArWeights, y, pre, post, scale_table):
     """Run the raster recursion on device; emit symbols + indexes.
 
-    y: (B, H, W, M); params: (B, H, W, 2M); scale_table: (L,).
-    Returns (symbols (B, H, W, M) int32, indexes (B, H, W, M) int32,
-    y_hat (B, H, W, M)).
+    y: (B, H, W, M); pre: (B, H, W, P); post: (B, H, W, Q) (Q may be 0);
+    scale_table: (L,).  Returns (symbols, indexes, y_hat), all (B, H, W, M).
     """
     b, h, w_dim, m = y.shape
     y_hat_pad = jnp.zeros((b, h + 2 * _PAD, w_dim + 2 * _PAD, m), jnp.float32)
@@ -92,8 +97,10 @@ def ar_encode_scan(w: ArWeights, y, params, scale_table):
             buf, (0, hh, ww, 0), (b, 2 * _PAD + 1, 2 * _PAD + 1, m))
         ctx = jnp.einsum("bijc,ijco->bo", crop, w.ctx_kernel) + w.ctx_bias
         p = jax.lax.dynamic_slice(
-            params, (0, hh, ww, 0), (b, 1, 1, params.shape[-1]))[:, 0, 0]
-        g = _ep_mlp(jnp.concatenate([p, ctx], axis=-1), w)
+            pre, (0, hh, ww, 0), (b, 1, 1, pre.shape[-1]))[:, 0, 0]
+        q = jax.lax.dynamic_slice(
+            post, (0, hh, ww, 0), (b, 1, 1, post.shape[-1]))[:, 0, 0]
+        g = _ep_mlp(jnp.concatenate([p, ctx, q], axis=-1), w)
         scales, means = jnp.split(g, 2, axis=-1)
         yv = jax.lax.dynamic_slice(y, (0, hh, ww, 0), (b, 1, 1, m))[:, 0, 0]
         y_q = jnp.round(yv - means)
@@ -111,16 +118,30 @@ def ar_encode_scan(w: ArWeights, y, params, scale_table):
     return symbols, indexes, y_hat
 
 
-def ar_compress(codec, y, params) -> list[bytes]:
-    """Autoregressive encode: device scan + one native rANS call per item."""
-    w = extract_ar_weights(codec.params)
+def _empty_post(pre):
+    b, h, w_dim, _ = pre.shape
+    return jnp.zeros((b, h, w_dim, 0), jnp.float32)
+
+
+def ar_compress(codec, y, pre, post=None,
+                ctx_name: str = "context_prediction",
+                ep_prefix: str = "entropy_parameters",
+                gc_name: str = "gaussian_conditional") -> list[bytes]:
+    """Autoregressive encode: device scan + one native rANS call per item.
+
+    Returns one string per batch item.  Also returns nothing else: the
+    decoder reproduces y_hat itself.
+    """
+    w = extract_ar_weights(codec.params, ctx_name, ep_prefix)
+    pre = jnp.asarray(pre, jnp.float32)
+    post = _empty_post(pre) if post is None else jnp.asarray(post,
+                                                             jnp.float32)
     table = jnp.asarray(codec.scale_table, jnp.float32)
     symbols, indexes, _ = ar_encode_scan(w, jnp.asarray(y, jnp.float32),
-                                         jnp.asarray(params, jnp.float32),
-                                         table)
+                                         pre, post, table)
     symbols = np.asarray(symbols)
     indexes = np.asarray(indexes)
-    tables = codec.tables["gaussian_conditional"]
+    tables = codec.tables[gc_name]
     enc = codecs.RansEncoder()
     return [
         enc.encode_with_indexes(symbols[i].reshape(-1),
@@ -131,27 +152,34 @@ def ar_compress(codec, y, params) -> list[bytes]:
     ]
 
 
-def ar_decompress(codec, y_strings: list[bytes], params) -> jnp.ndarray:
+def ar_decompress(codec, y_strings: list[bytes], pre, post=None, m=None,
+                  ctx_name: str = "context_prediction",
+                  ep_prefix: str = "entropy_parameters",
+                  gc_name: str = "gaussian_conditional") -> jnp.ndarray:
     """Autoregressive decode, row-pipelined on the host.
 
-    params: (B, H, W, 2M) hyper-synthesis output.  Returns y_hat
-    (B, H, W, M) float32.
+    pre: (B, H, W, P) hyper-synthesis output; post: optional (B, H, W, Q).
+    Returns y_hat (B, H, W, M) float32.
     """
-    w = extract_ar_weights(codec.params)
+    w = extract_ar_weights(codec.params, ctx_name, ep_prefix)
     ctx_k = np.asarray(w.ctx_kernel)            # (5, 5, M, 2M)
     ctx_b = np.asarray(w.ctx_bias)
     ep_ks = [np.asarray(k) for k in w.ep_kernels]
     ep_bs = [np.asarray(bv) for bv in w.ep_biases]
     table = np.asarray(codec.scale_table, np.float32)
     thresholds = table[:-1]
-    tables = codec.tables["gaussian_conditional"]
+    tables = codec.tables[gc_name]
     cdf = tables.quantized_cdf
     cdf_len = tables.cdf_length
     offsets = tables.offset
 
-    params = np.asarray(params, np.float32)
-    b, h, w_dim, _ = params.shape
-    m = ctx_k.shape[2]
+    pre = np.asarray(pre, np.float32)
+    b, h, w_dim, _ = pre.shape
+    m = ctx_k.shape[2] if m is None else m
+    if post is None:
+        post = np.zeros((b, h, w_dim, 0), np.float32)
+    else:
+        post = np.asarray(post, np.float32)
 
     # upper rows of the context kernel (decoded rows), flattened for matmul
     k_up = ctx_k[:_PAD].reshape(_PAD * 5 * m, 2 * m)       # (10M, 2M)
@@ -172,12 +200,13 @@ def ar_decompress(codec, y_strings: list[bytes], params) -> jnp.ndarray:
             x_up = windows.transpose(1, 0, 3, 2).reshape(
                 w_dim, _PAD * 5 * m)
             ctx_up = x_up @ k_up                            # (W, 2M)
-            p_row = params[i, hh]                           # (W, 2M)
+            p_row = pre[i, hh]                              # (W, P)
+            q_row = post[i, hh]                             # (W, Q)
             row_buf = y_hat[i, hh + _PAD]                   # (W+4, M) view
             for ww in range(w_dim):
                 ctx = (ctx_up[ww] + row_buf[ww] @ k_left2
                        + row_buf[ww + 1] @ k_left1 + ctx_b)
-                feat = np.concatenate([p_row[ww], ctx])
+                feat = np.concatenate([p_row[ww], ctx, q_row[ww]])
                 g = leaky(feat @ ep_ks[0] + ep_bs[0])
                 g = leaky(g @ ep_ks[1] + ep_bs[1])
                 g = g @ ep_ks[2] + ep_bs[2]

@@ -1,0 +1,349 @@
+"""DSIC: deep stereo image compression with cost volumes and dense warp.
+
+Reference: ywz/DSIC/mynet6.py (+ mynet6_plus.py for the enhanced/codec
+variant).  The right eye is coded by warping left-eye encoder/decoder
+features with learned disparity distributions (softmax cost volumes over
+C=32 horizontal shifts), conditioned on a global context derived from the
+decoded left latent.
+
+TPU-first notes:
+  * dense_warp (a per-disparity Python shift loop over detached features,
+    mynet6.py:252-281) is a static unrolled shift-multiply-accumulate —
+    XLA fuses it into C fused multiply-adds; gradients flow into the cost
+    only (the feature input is stop_gradient'ed, same as the reference).
+  * Conv3d blocks run as NDHWC ``lax.conv_general_dilated`` (depth = the
+    disparity axis).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..entropy_models import EntropyBottleneck, GaussianMixtureConditional
+from ..layers import GDN, Conv, Deconv, kaiming_normal
+from .hesic import Enhancement, GmmHyperY1, GmmHyperY2, HyperEncoder
+
+
+class Conv3D(nn.Module):
+    """3-D convolution, NDHWC, torch-style symmetric padding."""
+
+    features: int
+    kernel_size: int = 5
+
+    @nn.compact
+    def __call__(self, x):
+        k = self.kernel_size
+        p = k // 2
+        kernel = self.param(
+            "kernel", kaiming_normal,
+            (k, k, k, x.shape[-1], self.features), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (self.features,),
+                          jnp.float32)
+        out = jax.lax.conv_general_dilated(
+            x, kernel, window_strides=(1, 1, 1),
+            padding=((p, p), (p, p), (p, p)),
+            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
+        return out + bias
+
+
+class Encoder1WithTaps(nn.Module):
+    """Left-eye encoder exposing the per-stage GDN activations
+    (Encoder1, mynet6.py / newnet1.py:580-601)."""
+
+    N: int = 128
+    M: int = 192
+
+    @nn.compact
+    def __call__(self, x):
+        g1 = GDN()(Conv(self.N)(x))
+        g2 = GDN()(Conv(self.N)(g1))
+        g3 = GDN()(Conv(self.N)(g2))
+        y = Conv(self.M)(g3)
+        return y, g1, g2, g3
+
+
+class Decoder1WithTaps(nn.Module):
+    """Left-eye decoder exposing the per-stage IGDN activations
+    (Decoder1, newnet1.py:603-624)."""
+
+    N: int = 128
+
+    @nn.compact
+    def __call__(self, y_hat):
+        g4 = GDN(inverse=True)(Deconv(self.N)(y_hat))
+        g5 = GDN(inverse=True)(Deconv(self.N)(g4))
+        g6 = GDN(inverse=True)(Deconv(self.N)(g5))
+        x_hat = Deconv(3)(g6)
+        return x_hat, g4, g5, g6
+
+
+class GlobalContext(nn.Module):
+    """Conv stack on y1_hat producing three 3-D context volumes
+    (global_context, mynet6.py:152-182).
+
+    Returns a tuple of 3 tensors shaped (B, C, h, w, F0) — disparity as
+    the depth axis, F0 = F // 3 channels.
+    """
+
+    M: int = 192
+    F: int = 21
+    C: int = 32
+
+    @nn.compact
+    def __call__(self, y1_hat):
+        fc = self.F * self.C
+        x = Conv(fc, stride=1)(y1_hat)
+        x = nn.GroupNorm(num_groups=self.F)(x)
+        x = nn.relu(x)
+        x = Conv(fc, stride=1)(x)
+        x = nn.GroupNorm(num_groups=self.F)(x)
+        x = nn.relu(x)
+        x = Conv(fc, stride=1)(x)
+        x = nn.GroupNorm(num_groups=self.F)(x)
+        x = nn.relu(x)
+        x = Conv(fc, stride=1)(x)
+        b, h, w, _ = x.shape
+        f0 = self.F // 3
+        # channel layout (3, F0, C) like the reference reshape
+        x = x.reshape(b, h, w, 3, f0, self.C)
+        x = x.transpose(3, 0, 5, 1, 2, 4)  # (3, B, C, h, w, F0)
+        return x[0], x[1], x[2]
+
+
+class CostVolume(nn.Module):
+    """Disparity cost volume from left/right features + 3-D context
+    (cost_volume, mynet6.py:185-249).  Output (B, H, W, C) softmaxed over
+    the disparity axis."""
+
+    N: int = 128
+    scale: int = 2
+    F: int = 21
+    C: int = 32
+
+    @nn.compact
+    def __call__(self, h1, h2, d):
+        # 2-D branch on concatenated features
+        h = jnp.concatenate([h1, h2], axis=-1)
+        h = Conv(self.N, stride=1)(h)
+        h = nn.GroupNorm(num_groups=4)(h)
+        h = nn.relu(h)
+        h = Conv(self.N, stride=1)(h)
+        h = nn.GroupNorm(num_groups=4)(h)
+        h = nn.relu(h)
+
+        # 3-D branch on the upsampled context volume (B, C, hy, wy, F0)
+        b, c, hy, wy, f0 = d.shape
+        d_up = jax.image.resize(
+            d, (b, c, hy * self.scale, wy * self.scale, f0), "bilinear")
+        d3 = Conv3D(f0)(d_up)
+        d3 = nn.GroupNorm(num_groups=1)(d3)
+        d3 = nn.relu(d3)
+        d3 = Conv3D(f0)(d3)
+        d3 = nn.GroupNorm(num_groups=1)(d3)
+        d3 = nn.relu(d3)
+        # (B, C, H, W, F0) -> (B, H, W, F0*C) with channel layout f*C + c
+        d2 = d3.transpose(0, 2, 3, 4, 1).reshape(
+            b, hy * self.scale, wy * self.scale, f0 * c)
+
+        x = jnp.concatenate([h, d2], axis=-1)
+        x = Conv(self.N, stride=1)(x)
+        x = nn.GroupNorm(num_groups=4)(x)
+        x = nn.relu(x)
+        x = Conv(self.N, stride=1)(x)
+        x = nn.GroupNorm(num_groups=4)(x)
+        x = nn.relu(x)
+        x = Conv(self.C, stride=1)(x)
+        return jax.nn.softmax(x, axis=-1)
+
+
+def dense_warp(h1, cost):
+    """Disparity-weighted horizontal shift-accumulate
+    (dense_warp, mynet6.py:252-281).
+
+    h1: (B, H, W, N) features (gradient-blocked, like the reference's
+    detach); cost: (B, H, W, C) softmax weights over C rightward shifts.
+    out[w] = sum_d cost[w, d] * h1[w + d].
+    """
+    h1 = jax.lax.stop_gradient(h1)
+    w_dim = h1.shape[2]
+    c = cost.shape[-1]
+    out = jnp.zeros_like(h1)
+    for d in range(c):
+        term = cost[:, :, : w_dim - d, d:d + 1] * h1[:, :, d:, :]
+        out = out.at[:, :, : w_dim - d, :].add(term)
+    return out
+
+
+class DSIC(nn.Module):
+    """The DSIC model (mynet6.py:552-701).  N=128, M=192, F=21, C=32, K=5."""
+
+    N: int = 128
+    M: int = 192
+    F: int = 21
+    C: int = 32
+    K: int = 5
+
+    entropy_bottlenecks = ("entropy_bottleneck1", "entropy_bottleneck2")
+
+    def setup(self):
+        n, m, f, c, k = self.N, self.M, self.F, self.C, self.K
+        self.encoder1 = Encoder1WithTaps(N=n, M=m)
+        self.decoder1 = Decoder1WithTaps(N=n)
+        # right-eye encoder/decoder stages with skip fusion
+        self.pic2_g_a_conv1 = Conv(n)
+        self.pic2_g_a_gdn1 = GDN()
+        self.pic2_g_a_conv2 = Conv(n)
+        self.pic2_g_a_gdn2 = GDN()
+        self.pic2_g_a_conv3 = Conv(n)
+        self.pic2_g_a_gdn3 = GDN()
+        self.pic2_g_a_conv4 = Conv(m)
+        self.pic2_g_s_conv1 = Deconv(n)
+        self.pic2_g_s_gdn1 = GDN(inverse=True)
+        self.pic2_g_s_conv2 = Deconv(n)
+        self.pic2_g_s_gdn2 = GDN(inverse=True)
+        self.pic2_g_s_conv3 = Deconv(n)
+        self.pic2_g_s_gdn3 = GDN(inverse=True)
+        self.pic2_g_s_conv4 = Deconv(3)
+
+        self.global_context = GlobalContext(M=m, F=f, C=c)
+        self.cost_volume1 = CostVolume(N=n, scale=8, F=f, C=c)
+        self.cost_volume2 = CostVolume(N=n, scale=4, F=f, C=c)
+        self.cost_volume3 = CostVolume(N=n, scale=2, F=f, C=c)
+        self.cost_volume4 = CostVolume(N=n, scale=2, F=f, C=c)
+        self.cost_volume5 = CostVolume(N=n, scale=4, F=f, C=c)
+        self.cost_volume6 = CostVolume(N=n, scale=8, F=f, C=c)
+
+        self.h_a1 = HyperEncoder(N=n)
+        self.h_a2 = HyperEncoder(N=n)
+        self.h_s1 = GmmHyperY1(N=n, M=m, K=k)
+        self.h_s2 = GmmHyperY2(N=n, M=m, K=k)
+        self.entropy_bottleneck1 = EntropyBottleneck(channels=n)
+        self.entropy_bottleneck2 = EntropyBottleneck(channels=n)
+        self.gaussian1 = GaussianMixtureConditional(K=k)
+        self.gaussian2 = GaussianMixtureConditional(K=k)
+
+    def aux_loss(self):
+        return self.entropy_bottleneck1.loss() + self.entropy_bottleneck2.loss()
+
+    # ---- codec-facing sub-programs ----
+
+    def analysis1(self, x1):
+        return self.encoder1(x1)
+
+    def synthesis1(self, y1_hat):
+        return self.decoder1(y1_hat)
+
+    def hyper_analysis1(self, y1):
+        return self.h_a1(y1)
+
+    def hyper_analysis2(self, y2):
+        return self.h_a2(y2)
+
+    def gmm1(self, z1_hat):
+        return self.h_s1(z1_hat)
+
+    def gmm2(self, z2_hat, y1_hat):
+        return self.h_s2(z2_hat, y1_hat)
+
+    def analysis2(self, x2, g1_1, g1_2, g1_3, contexts):
+        """Right-eye encoder with cost-volume warps of left features."""
+        a1 = self.pic2_g_a_gdn1(self.pic2_g_a_conv1(x2))
+        cost1 = self.cost_volume1(g1_1, a1, contexts[0])
+        warp1 = dense_warp(g1_1, cost1)
+        a2 = self.pic2_g_a_gdn2(
+            self.pic2_g_a_conv2(jnp.concatenate([warp1, a1], axis=-1)))
+        cost2 = self.cost_volume2(g1_2, a2, contexts[1])
+        warp2 = dense_warp(g1_2, cost2)
+        a3 = self.pic2_g_a_gdn3(
+            self.pic2_g_a_conv3(jnp.concatenate([warp2, a2], axis=-1)))
+        cost3 = self.cost_volume3(g1_3, a3, contexts[2])
+        warp3 = dense_warp(g1_3, cost3)
+        return self.pic2_g_a_conv4(jnp.concatenate([warp3, a3], axis=-1))
+
+    def synthesis2(self, y2_hat, g1_4, g1_5, g1_6, contexts):
+        """Right-eye decoder with cost-volume warps of left decoder taps."""
+        s1 = self.pic2_g_s_gdn1(self.pic2_g_s_conv1(y2_hat))
+        cost4 = self.cost_volume4(g1_4, s1, contexts[2])
+        warp4 = dense_warp(g1_4, cost4)
+        s2 = self.pic2_g_s_gdn2(
+            self.pic2_g_s_conv2(jnp.concatenate([warp4, s1], axis=-1)))
+        cost5 = self.cost_volume5(g1_5, s2, contexts[1])
+        warp5 = dense_warp(g1_5, cost5)
+        s3 = self.pic2_g_s_gdn3(
+            self.pic2_g_s_conv3(jnp.concatenate([warp5, s2], axis=-1)))
+        cost6 = self.cost_volume6(g1_6, s3, contexts[0])
+        warp6 = dense_warp(g1_6, cost6)
+        return self.pic2_g_s_conv4(jnp.concatenate([warp6, s3], axis=-1))
+
+    def __call__(self, x1, x2, training: bool = False):
+        y1, g1_1, g1_2, g1_3 = self.encoder1(x1)
+        z1 = self.h_a1(y1)
+        z1_hat, z1_lik = self.entropy_bottleneck1(z1, training=training)
+        gmm1 = self.h_s1(z1_hat)
+        y1_hat, y1_lik = self.gaussian1(y1, gmm1[0], gmm1[1], gmm1[2],
+                                        training=training)
+        x1_hat, g1_4, g1_5, g1_6 = self.decoder1(y1_hat)
+
+        contexts = self.global_context(y1_hat)
+        y2 = self.analysis2(x2, g1_1, g1_2, g1_3, contexts)
+
+        z2 = self.h_a2(y2)
+        z2_hat, z2_lik = self.entropy_bottleneck2(z2, training=training)
+        gmm2 = self.h_s2(z2_hat, y1_hat)  # un-warped prior (mynet6.py:662)
+        y2_hat, y2_lik = self.gaussian2(y2, gmm2[0], gmm2[1], gmm2[2],
+                                        training=training)
+
+        x2_hat = self.synthesis2(y2_hat, g1_4, g1_5, g1_6, contexts)
+        return {
+            "x1_hat": x1_hat,
+            "x2_hat": x2_hat,
+            "y1_hat": y1_hat,
+            "y2_hat": y2_hat,
+            "likelihoods": {
+                "y1": y1_lik,
+                "y2": y2_lik,
+                "z1": z1_lik,
+                "z2": z2_lik,
+            },
+        }
+
+
+class IndependentEnhancementNoWarp(nn.Module):
+    """Stage-2 cross enhancement without homography
+    (Independent_EN, mynet6_plus.py:80-101)."""
+
+    @nn.compact
+    def __call__(self, x1_hat, x2_hat):
+        x1_out = Enhancement()(x1_hat, x2_hat)
+        x2_out = Enhancement()(x2_hat, x1_hat)
+        return {"x1_hat": x1_out, "x2_hat": x2_out}
+
+
+class DSICPlus(nn.Module):
+    """DSIC + enhancement end-to-end (DSIC_plus, mynet6_plus.py:1352-1370)."""
+
+    N: int = 128
+    M: int = 192
+    F: int = 21
+    C: int = 32
+    K: int = 5
+
+    entropy_bottlenecks = ("m1/entropy_bottleneck1", "m1/entropy_bottleneck2")
+
+    def setup(self):
+        self.m1 = DSIC(N=self.N, M=self.M, F=self.F, C=self.C, K=self.K)
+        self.m2 = IndependentEnhancementNoWarp()
+
+    def aux_loss(self):
+        return self.m1.aux_loss()
+
+    def __call__(self, x1, x2, training: bool = False):
+        out1 = self.m1(x1, x2, training=training)
+        out2 = self.m2(out1["x1_hat"], out1["x2_hat"])
+        return {
+            "x1_hat": out2["x1_hat"],
+            "x2_hat": out2["x2_hat"],
+            "likelihoods": out1["likelihoods"],
+        }

@@ -1,0 +1,81 @@
+"""DSIC model + container codec tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hesic_tpu.models import DSIC, DSICCodec, DSICPlus, dense_warp
+
+RNGS = {"params": jax.random.PRNGKey(0), "noise": jax.random.PRNGKey(1)}
+
+
+def _pair(hw=64, seed=0):
+    rng = np.random.RandomState(seed)
+    x1 = jnp.asarray(rng.rand(1, hw, hw, 3), jnp.float32)
+    x2 = jnp.asarray(rng.rand(1, hw, hw, 3), jnp.float32)
+    return x1, x2
+
+
+class TestDenseWarp:
+    def test_identity_when_cost_at_zero_shift(self):
+        h1 = jnp.asarray(np.random.RandomState(0).rand(1, 4, 8, 2),
+                         jnp.float32)
+        cost = jnp.zeros((1, 4, 8, 5)).at[..., 0].set(1.0)
+        out = dense_warp(h1, cost)
+        np.testing.assert_allclose(out, h1, atol=1e-6)
+
+    def test_pure_shift(self):
+        h1 = jnp.asarray(np.random.RandomState(1).rand(1, 2, 8, 1),
+                         jnp.float32)
+        cost = jnp.zeros((1, 2, 8, 5)).at[..., 3].set(1.0)
+        out = dense_warp(h1, cost)
+        # out[w] = h1[w+3] for w < W-3, else 0
+        np.testing.assert_allclose(out[0, :, :5, 0], h1[0, :, 3:, 0],
+                                   atol=1e-6)
+        np.testing.assert_allclose(out[0, :, 5:, 0], 0.0, atol=1e-6)
+
+    def test_blocks_feature_gradient(self):
+        h1 = jnp.ones((1, 2, 4, 1))
+        cost = jnp.full((1, 2, 4, 2), 0.5)
+        g = jax.grad(lambda h: float(jnp.sum(dense_warp(h, cost))) * 0
+                     + jnp.sum(dense_warp(h, cost)))(h1)
+        np.testing.assert_allclose(g, 0.0, atol=1e-6)
+        g_cost = jax.grad(lambda c: jnp.sum(dense_warp(h1, c)))(cost)
+        assert np.any(np.asarray(g_cost) != 0)
+
+
+class TestDSICForward:
+    def test_shapes_and_streams(self):
+        x1, x2 = _pair()
+        model = DSIC(N=16, M=24, F=6, C=4, K=2)
+        out, variables = model.init_with_output(RNGS, x1, x2, training=True)
+        assert out["x1_hat"].shape == x1.shape
+        assert out["x2_hat"].shape == x2.shape
+        assert set(out["likelihoods"]) == {"y1", "y2", "z1", "z2"}
+        assert out["likelihoods"]["y1"].shape == (1, 4, 4, 24)
+        out_eval = model.apply(variables, x1, x2, training=False)
+        assert out_eval["x2_hat"].shape == x2.shape
+
+    def test_dsic_plus(self):
+        x1, x2 = _pair()
+        model = DSICPlus(N=16, M=24, F=6, C=4, K=2)
+        out, _ = model.init_with_output(RNGS, x1, x2, training=True)
+        assert out["x1_hat"].shape == x1.shape
+        assert out["x2_hat"].shape == x2.shape
+
+
+class TestDSICContainer:
+    def test_roundtrip(self, tmp_path):
+        x1, x2 = _pair(seed=2)
+        module = DSIC(N=16, M=24, F=6, C=4, K=2)
+        codec = DSICCodec.init(module, [x1.shape, x2.shape])
+        codec.update()
+        out = codec.compress(x1, x2, "pair0", str(tmp_path))
+        assert out["bpp_real"] > 0
+        rec = codec.decompress("pair0", str(tmp_path))
+        np.testing.assert_array_equal(np.asarray(rec["y1_hat"]),
+                                      np.asarray(out["y1_hat"]))
+        np.testing.assert_array_equal(np.asarray(rec["y2_hat"]),
+                                      np.asarray(out["y2_hat"]))
+        assert rec["x1_hat"].shape == x1.shape
+        assert rec["x2_hat"].shape == x2.shape
