@@ -1,4 +1,5 @@
-from .conv import Conv, Deconv, Sequential, conv, deconv, pixel_shuffle
+from .conv import (Conv, Deconv, Sequential, conv, deconv, kaiming_normal,
+                   pixel_shuffle)
 from .gdn import GDN, GDN1
 from .layers import (AttentionBlock, MaskedConv2d, ResidualBlock,
                      ResidualBlockUpsample, ResidualBlockWithStride,
@@ -10,6 +11,7 @@ __all__ = [
     "Sequential",
     "conv",
     "deconv",
+    "kaiming_normal",
     "pixel_shuffle",
     "GDN",
     "GDN1",
