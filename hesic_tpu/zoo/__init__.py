@@ -1,0 +1,110 @@
+"""Model zoo: name -> (module, codec) constructors with quality configs.
+
+Reference: compressai/zoo/image.py (cfgs :105-155, loaders :157-341) plus
+the HESIC/DSIC research models.  Pretrained-weight download is stubbed —
+this environment has no egress; use
+``hesic_tpu.utils.convert_torch.convert_state_dict`` to import PyTorch
+checkpoints instead.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from ..models import (DSIC, HESIC, Cheng2020Anchor, Cheng2020Attention,
+                      DSICCodec, DSICPlus, FactorizedPrior,
+                      FactorizedPriorCodec, HESICCodec, HESICPlus,
+                      HESICPlusCodec, HESICPlusTogether, HESICTogether,
+                      JointAutoregressiveCodec,
+                      JointAutoregressiveHierarchicalPriors,
+                      MeanScaleHyperprior, MeanScaleHyperpriorCodec,
+                      ScaleHyperprior, ScaleHyperpriorCodec)
+
+model_architectures = {
+    "bmshj2018-factorized": (FactorizedPrior, FactorizedPriorCodec),
+    "bmshj2018-hyperprior": (ScaleHyperprior, ScaleHyperpriorCodec),
+    "mbt2018-mean": (MeanScaleHyperprior, MeanScaleHyperpriorCodec),
+    "mbt2018": (JointAutoregressiveHierarchicalPriors,
+                JointAutoregressiveCodec),
+    "cheng2020-anchor": (Cheng2020Anchor, JointAutoregressiveCodec),
+    "cheng2020-attn": (Cheng2020Attention, JointAutoregressiveCodec),
+    "hesic": (HESIC, HESICCodec),
+    "hesic-together": (HESICTogether, HESICCodec),
+    "hesic-plus": (HESICPlus, HESICPlusCodec),
+    "hesic-plus-together": (HESICPlusTogether, HESICPlusCodec),
+    "dsic": (DSIC, DSICCodec),
+    "dsic-plus": (DSICPlus, DSICCodec),
+}
+
+# quality -> constructor kwargs (reference zoo/image.py:105-155)
+cfgs = {
+    "bmshj2018-factorized": {q: {"N": 128, "M": 192} for q in range(1, 6)}
+    | {q: {"N": 192, "M": 320} for q in range(6, 9)},
+    "bmshj2018-hyperprior": {q: {"N": 128, "M": 192} for q in range(1, 6)}
+    | {q: {"N": 192, "M": 320} for q in range(6, 9)},
+    "mbt2018-mean": {q: {"N": 128, "M": 192} for q in range(1, 5)}
+    | {q: {"N": 192, "M": 320} for q in range(5, 9)},
+    "mbt2018": {q: {"N": 192, "M": 192} for q in range(1, 5)}
+    | {q: {"N": 192, "M": 320} for q in range(5, 9)},
+    "cheng2020-anchor": {q: {"N": 128, "M": 128} for q in range(1, 4)}
+    | {q: {"N": 192, "M": 192} for q in range(4, 7)},
+    "cheng2020-attn": {q: {"N": 128, "M": 128} for q in range(1, 4)}
+    | {q: {"N": 192, "M": 192} for q in range(4, 7)},
+    # stereo models use one published configuration (newtrain1.py:281)
+    "hesic": {q: {"N": 128, "M": 192, "K": 5} for q in range(1, 9)},
+    "hesic-together": {q: {"N": 128, "M": 192, "K": 5} for q in range(1, 9)},
+    "hesic-plus": {q: {"N": 128, "M": 192} for q in range(1, 9)},
+    "hesic-plus-together": {q: {"N": 128, "M": 192} for q in range(1, 9)},
+    "dsic": {q: {"N": 128, "M": 192, "F": 21, "C": 32, "K": 5}
+             for q in range(1, 9)},
+    "dsic-plus": {q: {"N": 128, "M": 192, "F": 21, "C": 32, "K": 5}
+                  for q in range(1, 9)},
+}
+
+_STEREO = {"hesic", "hesic-together", "hesic-plus", "hesic-plus-together",
+           "dsic", "dsic-plus"}
+_WITH_HOMOGRAPHY = {"hesic", "hesic-together", "hesic-plus",
+                    "hesic-plus-together"}
+
+models = model_architectures  # reference-compatible alias
+
+
+def is_stereo(name: str) -> bool:
+    return name in _STEREO
+
+
+def uses_homography(name: str) -> bool:
+    return name in _WITH_HOMOGRAPHY
+
+
+def _input_shapes(name: str, image_size=(256, 256)):
+    h, w = image_size
+    if name in _WITH_HOMOGRAPHY:
+        return [(1, h, w, 3), (1, h, w, 3), (1, 3, 3)]
+    if name in _STEREO:
+        return [(1, h, w, 3), (1, h, w, 3)]
+    return [(1, h, w, 3)]
+
+
+def create_model(name: str, quality: int = 1, seed: int = 0,
+                 pretrained: bool = False,
+                 checkpoint: Optional[str] = None, image_size=(256, 256),
+                 **overrides):
+    """Instantiate a model + codec wrapper at the given quality point."""
+    if name not in model_architectures:
+        raise ValueError(f'Invalid architecture name "{name}" '
+                         f"(choose from {sorted(model_architectures)})")
+    if quality not in cfgs[name]:
+        raise ValueError(f'Invalid quality "{quality}" for "{name}" '
+                         f"(valid: {sorted(cfgs[name])})")
+    if pretrained:
+        raise NotImplementedError(
+            "pretrained-weight download requires network egress; convert a "
+            "PyTorch checkpoint with hesic_tpu.utils.convert_torch instead")
+    module_cls, codec_cls = model_architectures[name]
+    kwargs = dict(cfgs[name][quality])
+    kwargs.update(overrides)
+    module = module_cls(**kwargs)
+    if checkpoint is not None:
+        return codec_cls.load(module, checkpoint)
+    return codec_cls.init(module, _input_shapes(name, image_size), seed=seed)
