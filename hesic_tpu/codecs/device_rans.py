@@ -1,0 +1,200 @@
+"""Vectorized rANS entropy coding ON the TPU (interleaved lanes).
+
+Why: the host link is the bottleneck (~35 MB/s d2h, ~27 ms per synchronous
+dispatch on this setup).  Shipping per-pixel CDF tables to a host coder
+(as the reference does implicitly by running everything on the host,
+newnet1.py:916-1044) costs hundreds of ms per image.  Instead the whole
+codec loop runs as device tensor ops: L independent rANS streams advance
+in lockstep inside a ``lax.scan``, so only the compressed bytes ever cross
+the PCIe/tunnel boundary — and the decoded latents never leave the chip.
+
+Coder: rANS with 32-bit state, 16-bit probability resolution, 16-bit word
+renormalization.  State invariant x in [2^16, 2^32); each symbol emits at
+most one u16 word.  Symbols are assigned round-robin to lanes
+(symbol i -> lane i % L, slot i // L); each lane encodes its slots in
+reverse and the decoder replays them forward, reading its word stream
+backward — so no buffer reversal is ever needed.
+
+Stream format (per tensor): per-lane word counts (u16[L]) + final states
+(u32[L]) + concatenated per-lane u16 words.  The per-lane flush overhead
+is 4 bytes; L trades scan depth against rate overhead.
+
+CDF convention: integer rows summing to exactly 2^16 with no zero bins,
+built on device by ``quantize_pmf_device`` (floor + clamp-to-1 + dump the
+residual on the largest bin).  This replaces the reference's
+arbitrary-total clip/round scheme (newnet1.py:975-978) — self-consistent
+bitstreams, equivalent rate, power-of-two totals for rANS.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+PROB_BITS = 16
+RANS_L = jnp.uint32(1 << 16)
+_TOTAL = 1 << PROB_BITS
+
+
+def quantize_pmf_device(pmf):
+    """Float PMF rows -> integer frequency rows summing to 2^16, bins >= 1.
+
+    pmf: (..., S) float32 (need not be normalized).  Fully vectorized.
+    """
+    pmf = jnp.asarray(pmf, jnp.float32)
+    pmf = jnp.maximum(pmf, 0.0)
+    total = jnp.sum(pmf, axis=-1, keepdims=True)
+    ideal = pmf / jnp.maximum(total, 1e-30) * _TOTAL
+    freq = jnp.clip(jnp.floor(ideal), 1, None).astype(jnp.int32)
+    deficit = _TOTAL - jnp.sum(freq, axis=-1, keepdims=True)
+    amax = jnp.argmax(freq, axis=-1, keepdims=True)
+    onehot = (jnp.arange(pmf.shape[-1]) == amax).astype(jnp.int32)
+    return freq + onehot * deficit
+
+
+def freq_to_cdf(freq):
+    """(..., S) freq rows -> (..., S+1) CDF rows (leading zero)."""
+    c = jnp.cumsum(freq, axis=-1)
+    return jnp.concatenate([jnp.zeros_like(c[..., :1]), c], axis=-1)
+
+
+def _pad_to_grid(n: int, lanes: int):
+    t = -(-n // lanes)
+    return t, t * lanes - n
+
+
+@partial(jax.jit, static_argnums=(2,))
+def rans_encode_interleaved(starts, freqs, lanes: int):
+    """Encode n symbols given per-symbol (start, freq) intervals.
+
+    starts/freqs: (n,) int32 with freq >= 1, start+freq <= 2^16.
+    Returns (words (L, T+2) int32 [u16 values], counts (L,) int32,
+    states (L,) uint32).  Padding slots are skipped via masking.
+    """
+    n = starts.shape[0]
+    t_steps, pad = _pad_to_grid(n, lanes)
+    starts = jnp.concatenate(
+        [starts.astype(jnp.uint32), jnp.zeros((pad,), jnp.uint32)])
+    freqs = jnp.concatenate(
+        [freqs.astype(jnp.uint32), jnp.ones((pad,), jnp.uint32)])
+    valid = (jnp.arange(t_steps * lanes) < n)
+    starts = starts.reshape(t_steps, lanes)
+    freqs = freqs.reshape(t_steps, lanes)
+    valid = valid.reshape(t_steps, lanes)
+
+    cap = t_steps + 2
+    lane_ids = jnp.arange(lanes)
+
+    def step(carry, inputs):
+        x, pos, buf = carry
+        s, f, v = inputs
+        # renormalize: emit low 16 bits when x >= f << 16
+        need = v & (x >= (f << PROB_BITS))
+        word = (x & jnp.uint32(0xFFFF)).astype(jnp.int32)
+        old = buf[lane_ids, pos]
+        buf = buf.at[lane_ids, pos].set(jnp.where(need, word, old))
+        pos = pos + need.astype(jnp.int32)
+        x = jnp.where(need, x >> PROB_BITS, x)
+        # x = C(s, x)
+        x_new = ((x // f) << PROB_BITS) + (x % f) + s
+        x = jnp.where(v, x_new, x)
+        return (x, pos, buf), None
+
+    init = (jnp.full((lanes,), RANS_L, jnp.uint32),
+            jnp.zeros((lanes,), jnp.int32),
+            jnp.zeros((lanes, cap), jnp.int32))
+    (states, counts, words), _ = jax.lax.scan(
+        step, init, (starts, freqs, valid), reverse=True)
+    return words, counts, states
+
+
+@partial(jax.jit, static_argnums=(4, 5))
+def rans_decode_interleaved(words, counts, states, cdf_rows, n: int,
+                            lanes: int):
+    """Decode n symbols whose CDF rows are known on device.
+
+    words: (L, C) int32 u16 values; counts: (L,); states: (L,) uint32;
+    cdf_rows: (n_padded >= n, S+1) int32 rows summing to 2^16 (row i is
+    symbol i's CDF).  Returns symbols (n,) int32.
+    """
+    t_steps, pad = _pad_to_grid(n, lanes)
+    s1 = cdf_rows.shape[-1]
+    rows = jnp.concatenate(
+        [cdf_rows[:n], jnp.tile(cdf_rows[:1], (pad, 1))], axis=0)
+    rows = rows.reshape(t_steps, lanes, s1)
+    valid = (jnp.arange(t_steps * lanes) < n).reshape(t_steps, lanes)
+    lane_ids = jnp.arange(lanes)
+
+    def step(carry, inputs):
+        x, p = carry
+        row, v = inputs  # (L, S+1), (L,)
+        cf = (x & jnp.uint32(0xFFFF)).astype(jnp.int32)
+        sym = jnp.sum(row[:, 1:] <= cf[:, None], axis=-1).astype(jnp.int32)
+        start = jnp.take_along_axis(row, sym[:, None], axis=-1)[:, 0]
+        freq = jnp.take_along_axis(row, sym[:, None] + 1,
+                                   axis=-1)[:, 0] - start
+        start = start.astype(jnp.uint32)
+        freq = freq.astype(jnp.uint32)
+        x_new = freq * (x >> PROB_BITS) + cf.astype(jnp.uint32) - start
+        # renormalize: pull one u16 word when x < 2^16
+        need = v & (x_new < RANS_L)
+        p_read = jnp.maximum(p - 1, 0)
+        word = words[lane_ids, p_read].astype(jnp.uint32)
+        x_new = jnp.where(need, (x_new << PROB_BITS) | word, x_new)
+        p = jnp.where(need, p - 1, p)
+        x = jnp.where(v, x_new, x)
+        return (x, p), jnp.where(v, sym, 0)
+
+    init = (states.astype(jnp.uint32), counts.astype(jnp.int32))
+    (_, _), syms = jax.lax.scan(step, init, (rows, valid))
+    return syms.reshape(-1)[:n]
+
+
+def gather_intervals(cdf_rows, symbols):
+    """Per-symbol (start, freq) from CDF rows — device gather.
+
+    cdf_rows: (n, S+1) int32; symbols: (n,) int32 in [0, S-1].
+    """
+    sym = symbols[:, None]
+    start = jnp.take_along_axis(cdf_rows, sym, axis=-1)[:, 0]
+    hi = jnp.take_along_axis(cdf_rows, sym + 1, axis=-1)[:, 0]
+    return start, hi - start
+
+
+# ---------------------------------------------------------------------------
+# host-side container packing
+# ---------------------------------------------------------------------------
+
+def pack_stream(words, counts, states) -> bytes:
+    """Serialize an interleaved stream: u16 L | u16 counts[L] |
+    u32 states[L] | concatenated u16 words."""
+    words = np.asarray(words)
+    counts = np.asarray(counts, np.int64)
+    states = np.asarray(states, np.uint32)
+    lanes = counts.shape[0]
+    payload = [np.uint16(lanes).tobytes(),
+               counts.astype(np.uint16).tobytes(), states.tobytes()]
+    for l in range(lanes):
+        payload.append(words[l, : counts[l]].astype(np.uint16).tobytes())
+    return b"".join(payload)
+
+
+def unpack_stream(blob: bytes, offset: int = 0):
+    """Inverse of pack_stream.  Returns (words (L, C), counts, states,
+    next_offset); words padded to the max lane length."""
+    lanes = int(np.frombuffer(blob, np.uint16, 1, offset)[0])
+    offset += 2
+    counts = np.frombuffer(blob, np.uint16, lanes, offset).astype(np.int32)
+    offset += 2 * lanes
+    states = np.frombuffer(blob, np.uint32, lanes, offset).copy()
+    offset += 4 * lanes
+    cap = max(int(counts.max()), 1)
+    words = np.zeros((lanes, cap), np.int32)
+    for l in range(lanes):
+        c = int(counts[l])
+        words[l, :c] = np.frombuffer(blob, np.uint16, c, offset)
+        offset += 2 * c
+    return words, counts, states, offset

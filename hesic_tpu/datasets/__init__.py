@@ -1,0 +1,11 @@
+from .stereo import (HOMO_PATCH_SIZE, HOMO_PIC_SIZE, HOMO_RHO, ImageFolder,
+                     StereoImageFolder, batch_iterator)
+
+__all__ = [
+    "HOMO_PATCH_SIZE",
+    "HOMO_PIC_SIZE",
+    "HOMO_RHO",
+    "ImageFolder",
+    "StereoImageFolder",
+    "batch_iterator",
+]

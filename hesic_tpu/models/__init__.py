@@ -4,6 +4,7 @@ from .codec import (FactorizedPriorCodec, JointAutoregressiveCodec,
 from .hesic import (HESIC, Enhancement, EnhancementBlock, HESICTogether,
                     IndependentEnhancement)
 from .hesic_codec import HESICCodec
+from .hesic_fast import HESICFastCodec
 from .hesic_plus import HESICPlus, HESICPlusCodec, HESICPlusTogether
 from .dsic import (DSIC, DSICPlus, IndependentEnhancementNoWarp, CostVolume,
                    GlobalContext, dense_warp)
@@ -26,6 +27,7 @@ __all__ = [
     "Cheng2020Attention",
     "HESIC",
     "HESICCodec",
+    "HESICFastCodec",
     "HESICTogether",
     "HESICPlus",
     "HESICPlusCodec",

@@ -1,0 +1,170 @@
+"""Evaluate trained models on image folders with the real coder.
+
+Mirror of ``python -m compressai.utils.eval_model``
+(reference utils/eval_model/__main__.py): pads inputs to x64, times real
+compress/decompress, reports PSNR / MS-SSIM / bpp, JSON output, with an
+``--entropy-estimation`` mode that integrates likelihoods instead of
+running the coder.  Adds the stereo protocol of test3real.py (both eyes,
+bpp over 2*H*W).
+
+Usage: python -m hesic_tpu.utils.eval_model --arch hesic \
+           --checkpoint model.pkl --dataset /path [--entropy-estimation]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import math
+import sys
+import time
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..datasets.stereo import ImageFolder, StereoImageFolder
+from ..training.losses import bits
+from ..zoo import create_model, is_stereo, uses_homography
+from .metrics import ms_ssim, np_psnr
+
+
+def pad_to_multiple(x: np.ndarray, m: int = 64):
+    """Symmetric replicate-pad H, W to multiples of m
+    (reference eval_model/__main__.py:58-68 pads to x64)."""
+    _, h, w, _ = x.shape
+    ph = (m - h % m) % m
+    pw = (m - w % m) % m
+    pads = ((0, 0), (ph // 2, ph - ph // 2), (pw // 2, pw - pw // 2),
+            (0, 0))
+    return np.pad(x, pads, mode="edge"), (h, w, pads)
+
+
+def unpad(x, meta):
+    h, w, pads = meta
+    return x[:, pads[1][0]: pads[1][0] + h, pads[2][0]: pads[2][0] + w, :]
+
+
+def eval_single(codec, x: np.ndarray, entropy_estimation: bool) -> dict:
+    xp, meta = pad_to_multiple(x)
+    num_pixels = x.shape[1] * x.shape[2]
+    if entropy_estimation:
+        out = codec.forward(jnp.asarray(xp), training=False)
+        bpp = float(sum(bits(lik) for lik in
+                        out["likelihoods"].values())) / num_pixels
+        x_hat = np.asarray(jnp.clip(out["x_hat"], 0, 1))
+        enc_t = dec_t = 0.0
+    else:
+        t0 = time.time()
+        comp = codec.compress(jnp.asarray(xp))
+        enc_t = time.time() - t0
+        t0 = time.time()
+        rec = codec.decompress(comp["strings"], comp["shape"])
+        dec_t = time.time() - t0
+        total_bytes = sum(len(s) for group in comp["strings"]
+                          for s in group)
+        bpp = total_bytes * 8 / num_pixels
+        x_hat = np.asarray(rec["x_hat"])
+    x_hat = unpad(x_hat, meta)
+    return {
+        "psnr": np_psnr(x, x_hat),
+        "ms-ssim": float(ms_ssim(jnp.asarray(x), jnp.asarray(x_hat))),
+        "bpp": bpp,
+        "encoding_time": enc_t,
+        "decoding_time": dec_t,
+    }
+
+
+def eval_stereo(codec, x1, x2, h_matrix, entropy_estimation: bool,
+                with_h: bool, workdir: str, name: str) -> dict:
+    num_pixels = 2 * x1.shape[1] * x1.shape[2]
+    args = (jnp.asarray(x1), jnp.asarray(x2)) + (
+        (jnp.asarray(h_matrix),) if with_h else ())
+    if entropy_estimation:
+        out = codec.forward(*args, training=False)
+        bpp = float(sum(bits(lik) for lik in
+                        out["likelihoods"].values())) / num_pixels
+        x1_hat = np.asarray(jnp.clip(out["x1_hat"], 0, 1))
+        x2_hat = np.asarray(jnp.clip(out["x2_hat"], 0, 1))
+        enc_t = dec_t = 0.0
+    else:
+        comp = codec.compress(*args, output_name=name,
+                              output_path=workdir)
+        rec = codec.decompress(name, workdir)
+        bpp = comp["bpp_real"]
+        enc_t = comp.get("enctime", 0.0)
+        dec_t = rec.get("dectime", 0.0)
+        x1_hat = np.asarray(jnp.clip(rec["x1_hat"], 0, 1))
+        x2_hat = np.asarray(jnp.clip(rec["x2_hat"], 0, 1))
+    # per-eye PSNR averaged (reference test3real.py:110-111,216)
+    psnr = (np_psnr(x1, x1_hat) + np_psnr(x2, x2_hat)) / 2
+    ms = (float(ms_ssim(jnp.asarray(x1), jnp.asarray(x1_hat)))
+          + float(ms_ssim(jnp.asarray(x2), jnp.asarray(x2_hat)))) / 2
+    return {"psnr": psnr, "ms-ssim": ms, "bpp": bpp,
+            "encoding_time": enc_t, "decoding_time": dec_t}
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--arch", required=True)
+    parser.add_argument("--dataset", required=True)
+    parser.add_argument("--split", default="test")
+    parser.add_argument("--checkpoint", default=None)
+    parser.add_argument("--quality", type=int, default=1)
+    parser.add_argument("--entropy-estimation", action="store_true")
+    parser.add_argument("--max-images", type=int, default=None)
+    parser.add_argument("--workdir", default="/tmp")
+    parser.add_argument("--output", default=None)
+    args = parser.parse_args(argv)
+
+    codec = create_model(args.arch, quality=args.quality,
+                         checkpoint=args.checkpoint)
+    if not args.entropy_estimation:
+        codec.update()
+
+    stereo = is_stereo(args.arch)
+    with_h = uses_homography(args.arch)
+    results = []
+    if stereo:
+        ds = StereoImageFolder(args.dataset, split=args.split,
+                               patch_size=(512, 512), need_file_name=True)
+        identity = np.eye(3, dtype=np.float32)[None]
+        for i in range(len(ds)):
+            if args.max_images and i >= args.max_images:
+                break
+            item = ds[i]
+            res = eval_stereo(codec, item["x1"][None], item["x2"][None],
+                              identity, args.entropy_estimation, with_h,
+                              args.workdir, f"eval_{i}")
+            results.append(res)
+            print(f"[{i}] {item.get('name', i)}: "
+                  + " ".join(f"{k}={v:.4f}" for k, v in res.items()))
+    else:
+        ds = ImageFolder(args.dataset, split=args.split)
+        for i in range(len(ds)):
+            if args.max_images and i >= args.max_images:
+                break
+            item = ds[i]
+            res = eval_single(codec, item["x"][None],
+                              args.entropy_estimation)
+            results.append(res)
+            print(f"[{i}]: "
+                  + " ".join(f"{k}={v:.4f}" for k, v in res.items()))
+
+    summary = {
+        "name": args.arch,
+        "description": ("entropy estimation" if args.entropy_estimation
+                        else "real coder"),
+        "results": {
+            k: float(np.mean([r[k] for r in results]))
+            for k in results[0]
+        } if results else {},
+    }
+    print(json.dumps(summary, indent=2))
+    if args.output:
+        with open(args.output, "w") as f:
+            json.dump(summary, f, indent=2)
+    return summary
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,63 @@
+"""Fast (on-device coder) HESIC codec: bit-exact round-trip tests."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from hesic_tpu.models import HESIC, HESICFastCodec
+
+
+def _pair(hw=64, seed=0):
+    rng = np.random.RandomState(seed)
+    x1 = jnp.asarray(rng.rand(1, hw, hw, 3), jnp.float32)
+    x2 = jnp.asarray(rng.rand(1, hw, hw, 3), jnp.float32)
+    h = jnp.eye(3)[None] + jnp.asarray(rng.randn(1, 3, 3) * 1e-3,
+                                       jnp.float32)
+    h = h.at[:, 2, 2].set(1.0)
+    return x1, x2, h
+
+
+class TestFastRoundtrip:
+    def test_roundtrip_matches_forward_latents(self):
+        x1, x2, h = _pair()
+        module = HESIC(N=16, M=24, K=2)
+        codec = HESICFastCodec.init(module, [x1.shape, x2.shape, h.shape])
+        codec.update()
+        out = codec.compress_fast(x1, x2, h)
+        assert out["bpp_real"] > 0
+        rec = codec.decompress_fast(out["blob"])
+        # y_hat must equal the encoder-side clip(round(y1), +-mm)
+        y1 = codec.jit("analysis1")(x1)
+        y1_hat_expected = np.clip(np.round(np.asarray(y1)), -codec.mm,
+                                  codec.mm)
+        np.testing.assert_array_equal(np.asarray(rec["y1_hat"]),
+                                      y1_hat_expected)
+        assert rec["x1_hat"].shape == x1.shape
+        assert rec["x2_hat"].shape == x2.shape
+        assert np.all(np.isfinite(np.asarray(rec["x2_hat"])))
+
+    def test_fast_and_reference_container_reconstructions_match(self,
+                                                                tmp_path):
+        """Both paths decode to the same y1 latent (same quantization)."""
+        x1, x2, h = _pair(seed=1)
+        module = HESIC(N=16, M=24, K=2)
+        codec = HESICFastCodec.init(module, [x1.shape, x2.shape, h.shape])
+        codec.update()
+        fast = codec.decompress_fast(
+            codec.compress_fast(x1, x2, h)["blob"])
+        codec.compress(x1, x2, h, "ref", str(tmp_path))
+        ref = codec.decompress("ref", str(tmp_path))
+        # identical unless the fast path clamped (it should not here)
+        np.testing.assert_array_equal(np.asarray(fast["y1_hat"]),
+                                      np.asarray(ref["y1_hat"]))
+        np.testing.assert_array_equal(np.asarray(fast["y2_hat"]),
+                                      np.asarray(ref["y2_hat"]))
+        np.testing.assert_allclose(np.asarray(fast["x2_hat"]),
+                                   np.asarray(ref["x2_hat"]), atol=1e-5)
+
+    def test_bpp_sane(self):
+        x1, x2, h = _pair(seed=2)
+        module = HESIC(N=16, M=24, K=2)
+        codec = HESICFastCodec.init(module, [x1.shape, x2.shape, h.shape])
+        codec.update()
+        out = codec.compress_fast(x1, x2, h)
+        assert 0 < out["bpp_real"] < 20
