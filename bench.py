@@ -28,10 +28,11 @@ def _smooth_pair(rng, hw):
     base = rng.rand(hw // 8 + 2, hw // 8 + 2, 3).astype(np.float32)
     idx = np.linspace(0, base.shape[0] - 1.001, hw)
     xi = idx.astype(np.int32)
-    fi = (idx - xi)[:, None]
-    up = (base[xi] * (1 - fi[..., None]) + base[xi + 1] * fi[..., None])
-    up = (up[:, xi] * (1 - fi[None, :, 0][..., None, None])
-          + up[:, xi + 1] * fi[None, :, 0][..., None, None])
+    fi = (idx - xi).astype(np.float32)
+    rows = (base[xi] * (1 - fi)[:, None, None]
+            + base[xi + 1] * fi[:, None, None])          # (hw, W0, 3)
+    up = (rows[:, xi] * (1 - fi)[None, :, None]
+          + rows[:, xi + 1] * fi[None, :, None])          # (hw, hw, 3)
     x1 = up
     x2 = np.roll(up, 3, axis=1) * 0.98 + 0.01
     return x1[None], x2[None]
