@@ -44,7 +44,8 @@ def main():
     from hesic_tpu.models import HESIC, HESICFastCodec
 
     hw = int(os.environ.get("BENCH_SIZE", "512"))
-    n_pairs = int(os.environ.get("BENCH_PAIRS", "16"))
+    batch = int(os.environ.get("BENCH_BATCH", "8"))
+    n_batches = int(os.environ.get("BENCH_BATCHES", "4"))
     rng = np.random.RandomState(0)
 
     module = HESIC(N=128, M=192, K=5)
@@ -52,25 +53,23 @@ def main():
         module, [(1, hw, hw, 3), (1, hw, hw, 3), (1, 3, 3)])
     codec.update()
 
-    h = jnp.eye(3, dtype=jnp.float32)[None]
-    pairs = []
-    for _ in range(min(n_pairs, 4)):
-        x1, x2 = _smooth_pair(rng, hw)
-        pairs.append((jnp.asarray(x1), jnp.asarray(x2)))
+    h = jnp.tile(jnp.eye(3, dtype=jnp.float32)[None], (batch, 1, 1))
+    xs = [_smooth_pair(rng, hw) for _ in range(batch)]
+    x1 = jnp.asarray(np.concatenate([p[0] for p in xs]))
+    x2 = jnp.asarray(np.concatenate([p[1] for p in xs]))
 
     # warmup: compile both directions
-    out = codec.compress_fast(pairs[0][0], pairs[0][1], h)
-    rec = codec.decompress_fast(out["blob"])
+    out = codec.compress_fast(x1, x2, h)
+    rec = codec.decompress_fast(out["blobs"])
     jax.block_until_ready(rec["x2_hat"])
 
     start = time.time()
-    for i in range(n_pairs):
-        x1, x2 = pairs[i % len(pairs)]
+    for _ in range(n_batches):
         out = codec.compress_fast(x1, x2, h)
-        rec = codec.decompress_fast(out["blob"])
+        rec = codec.decompress_fast(out["blobs"])
     jax.block_until_ready(rec["x2_hat"])
     elapsed = time.time() - start
-    pairs_per_sec = n_pairs / elapsed
+    pairs_per_sec = n_batches * batch / elapsed
 
     print(json.dumps({
         "metric": f"stereo_pairs_per_sec_{hw}px_encdec",

@@ -61,3 +61,26 @@ class TestFastRoundtrip:
         codec.update()
         out = codec.compress_fast(x1, x2, h)
         assert 0 < out["bpp_real"] < 20
+
+
+class TestBatchedFast:
+    def test_batch_roundtrip(self):
+        rng = np.random.RandomState(5)
+        b, hw = 3, 64
+        x1 = jnp.asarray(rng.rand(b, hw, hw, 3), jnp.float32)
+        x2 = jnp.asarray(rng.rand(b, hw, hw, 3), jnp.float32)
+        h = jnp.tile(jnp.eye(3)[None], (b, 1, 1))
+        module = HESIC(N=16, M=24, K=2)
+        codec = HESICFastCodec.init(
+            module, [(1, hw, hw, 3), (1, hw, hw, 3), (1, 3, 3)])
+        codec.update()
+        out = codec.compress_fast(x1, x2, h)
+        assert len(out["blobs"]) == b
+        rec = codec.decompress_fast(out["blobs"])
+        y1 = codec.jit("analysis1")(x1)
+        expected = np.clip(np.round(np.asarray(y1)), -codec.mm, codec.mm)
+        np.testing.assert_array_equal(np.asarray(rec["y1_hat"]), expected)
+        # per-item blobs decode independently too
+        rec0 = codec.decompress_fast(out["blobs"][1])
+        np.testing.assert_array_equal(np.asarray(rec0["y1_hat"])[0],
+                                      expected[1])
