@@ -68,15 +68,24 @@ def ssim(x, y, max_val: float = 1.0):
 
 
 def ms_ssim(x, y, max_val: float = 1.0):
-    """Multi-scale SSIM (5 scales, standard weights)."""
+    """Multi-scale SSIM (up to 5 scales, standard weights).
+
+    For small inputs the scale count shrinks so every scale still fits the
+    11-tap window; the used weights are renormalized to sum to one.
+    """
     x = jnp.asarray(x, jnp.float32)
     y = jnp.asarray(y, jnp.float32)
-    weights = jnp.asarray(_MSSSIM_WEIGHTS)
+    min_dim = min(x.shape[1], x.shape[2])
+    levels = 1
+    while levels < len(_MSSSIM_WEIGHTS) and (min_dim >> levels) >= 11:
+        levels += 1
+    weights = jnp.asarray(_MSSSIM_WEIGHTS[:levels])
+    weights = weights / jnp.sum(weights)
     values = []
-    for i in range(len(_MSSSIM_WEIGHTS)):
+    for i in range(levels):
         s, cs = _ssim_components(x, y, max_val)
-        values.append(s if i == len(_MSSSIM_WEIGHTS) - 1 else cs)
-        if i < len(_MSSSIM_WEIGHTS) - 1:
+        values.append(s if i == levels - 1 else cs)
+        if i < levels - 1:
             x = jax.lax.reduce_window(
                 x, 0.0, jax.lax.add, (1, 2, 2, 1), (1, 2, 2, 1),
                 "VALID") / 4.0

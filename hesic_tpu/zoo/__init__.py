@@ -103,8 +103,14 @@ def create_model(name: str, quality: int = 1, seed: int = 0,
             "PyTorch checkpoint with hesic_tpu.utils.convert_torch instead")
     module_cls, codec_cls = model_architectures[name]
     kwargs = dict(cfgs[name][quality])
+    if checkpoint is not None:
+        import pickle
+        with open(checkpoint, "rb") as f:
+            state = pickle.load(f)
+        kwargs.update(state.get("config") or {})
+        kwargs.update(overrides)
+        module = module_cls(**kwargs)
+        return codec_cls(module, state["params"]).load_state_dict(state)
     kwargs.update(overrides)
     module = module_cls(**kwargs)
-    if checkpoint is not None:
-        return codec_cls.load(module, checkpoint)
     return codec_cls.init(module, _input_shapes(name, image_size), seed=seed)
