@@ -170,16 +170,16 @@ def gather_intervals(cdf_rows, symbols):
 
 def pack_stream(words, counts, states) -> bytes:
     """Serialize an interleaved stream: u16 L | u16 counts[L] |
-    u32 states[L] | concatenated u16 words."""
+    u32 states[L] | concatenated u16 words (lane-major, vectorized)."""
     words = np.asarray(words)
     counts = np.asarray(counts, np.int64)
     states = np.asarray(states, np.uint32)
-    lanes = counts.shape[0]
-    payload = [np.uint16(lanes).tobytes(),
-               counts.astype(np.uint16).tobytes(), states.tobytes()]
-    for l in range(lanes):
-        payload.append(words[l, : counts[l]].astype(np.uint16).tobytes())
-    return b"".join(payload)
+    lanes, cap = words.shape
+    mask = np.arange(cap) < counts[:, None]
+    payload = words[mask].astype(np.uint16).tobytes()
+    return (np.uint16(lanes).tobytes()
+            + counts.astype(np.uint16).tobytes() + states.tobytes()
+            + payload)
 
 
 def unpack_stream(blob: bytes, offset: int = 0):
@@ -192,9 +192,10 @@ def unpack_stream(blob: bytes, offset: int = 0):
     states = np.frombuffer(blob, np.uint32, lanes, offset).copy()
     offset += 4 * lanes
     cap = max(int(counts.max()), 1)
+    total = int(counts.sum())
+    flat = np.frombuffer(blob, np.uint16, total, offset)
+    offset += 2 * total
     words = np.zeros((lanes, cap), np.int32)
-    for l in range(lanes):
-        c = int(counts[l])
-        words[l, :c] = np.frombuffer(blob, np.uint16, c, offset)
-        offset += 2 * c
+    mask = np.arange(cap) < counts[:, None]
+    words[mask] = flat
     return words, counts, states, offset

@@ -129,13 +129,21 @@ def main(argv=None):
     parser.add_argument("--checkpoint-dir", default="checkpoints")
     parser.add_argument("--log-file", default="train_log.txt")
     parser.add_argument("--log-every", type=int, default=10)
+    parser.add_argument("--overrides", default=None,
+                        help="architecture overrides, e.g. N=64,M=96")
     args = parser.parse_args(argv)
+
+    overrides = {}
+    if args.overrides:
+        for kv in args.overrides.split(","):
+            k, v = kv.split("=")
+            overrides[k.strip()] = int(v)
 
     os.makedirs(args.checkpoint_dir, exist_ok=True)
     patch = (args.patch_size, args.patch_size)
 
     codec = create_model(args.model, quality=args.quality, seed=args.seed,
-                         image_size=patch)
+                         image_size=patch, **overrides)
     module = codec.module
     tx = make_optimizer(args.learning_rate, args.aux_learning_rate)
     state = TrainState.create(codec.params, tx)
