@@ -24,8 +24,16 @@ BASELINE_PAIRS_PER_SEC = 25.0
 
 
 def _smooth_pair(rng, hw):
-    """Low-pass random field + a shifted copy as the second eye."""
-    base = rng.rand(hw // 8 + 2, hw // 8 + 2, 3).astype(np.float32)
+    """Low-pass random field + a shifted copy as the second eye.
+
+    Amplitude is kept moderate so the UNTRAINED bench model produces
+    payload sizes in the range a trained model produces on natural images
+    (~0.3-1 bpp) — throughput is what's being measured, not RD.
+    """
+    base = (0.5 + 0.25 * rng.randn(hw // 16 + 2, hw // 16 + 2, 3)
+            ).astype(np.float32)
+    base = np.clip(base, 0, 1)
+    base = np.repeat(np.repeat(base, 2, 0), 2, 1)
     idx = np.linspace(0, base.shape[0] - 1.001, hw)
     xi = idx.astype(np.int32)
     fi = (idx - xi).astype(np.float32)

@@ -73,6 +73,13 @@ def rans_encode_interleaved(starts, freqs, lanes: int):
     starts/freqs: (n,) int32 with freq >= 1, start+freq <= 2^16.
     Returns (words (L, T+2) int32 [u16 values], counts (L,) int32,
     states (L,) uint32).  Padding slots are skipped via masking.
+
+    TPU notes: the scan carries only the (L,) lane states — emitted words
+    stream out as stacked scan outputs and are compacted into per-lane
+    buffers with ONE scatter afterwards.  The u32 division in the rANS
+    transition runs as an f32-reciprocal multiply with a +-1 integer
+    correction (q <= 2^16, so one correction step is exact) — hardware
+    integer division is much slower on the VPU.
     """
     n = starts.shape[0]
     t_steps, pad = _pad_to_grid(n, lanes)
@@ -83,32 +90,45 @@ def rans_encode_interleaved(starts, freqs, lanes: int):
     valid = (jnp.arange(t_steps * lanes) < n)
     starts = starts.reshape(t_steps, lanes)
     freqs = freqs.reshape(t_steps, lanes)
+    recips = 1.0 / freqs.astype(jnp.float32)
     valid = valid.reshape(t_steps, lanes)
 
-    cap = t_steps + 2
-    lane_ids = jnp.arange(lanes)
-
-    def step(carry, inputs):
-        x, pos, buf = carry
-        s, f, v = inputs
+    def step(x, inputs):
+        s, f, rcp, v = inputs
         # renormalize: emit low 16 bits when x >= f << 16
         need = v & (x >= (f << PROB_BITS))
         word = (x & jnp.uint32(0xFFFF)).astype(jnp.int32)
-        old = buf[lane_ids, pos]
-        buf = buf.at[lane_ids, pos].set(jnp.where(need, word, old))
-        pos = pos + need.astype(jnp.int32)
         x = jnp.where(need, x >> PROB_BITS, x)
-        # x = C(s, x)
-        x_new = ((x // f) << PROB_BITS) + (x % f) + s
+        # q = x // f via reciprocal multiply (+-1 correction)
+        q = jnp.minimum(
+            (x.astype(jnp.float32) * rcp).astype(jnp.uint32),
+            jnp.uint32(0xFFFF))
+        q = jnp.where(q * f > x, q - 1, q)
+        r = x - q * f
+        fix = r >= f
+        q = jnp.where(fix, q + 1, q)
+        r = jnp.where(fix, r - f, r)
+        x_new = (q << PROB_BITS) + r + s
         x = jnp.where(v, x_new, x)
-        return (x, pos, buf), None
+        return x, (word, need)
 
-    init = (jnp.full((lanes,), RANS_L, jnp.uint32),
-            jnp.zeros((lanes,), jnp.int32),
-            jnp.zeros((lanes, cap), jnp.int32))
-    (states, counts, words), _ = jax.lax.scan(
-        step, init, (starts, freqs, valid), reverse=True)
-    return words, counts, states
+    init = jnp.full((lanes,), RANS_L, jnp.uint32)
+    states, (words_t, need_t) = jax.lax.scan(
+        step, init, (starts, freqs, recips, valid), reverse=True)
+
+    # compaction: emission order is decreasing t, so position of step t's
+    # word is the number of emissions at steps > t
+    need_i = need_t.astype(jnp.int32)
+    counts = jnp.sum(need_i, axis=0)                      # (L,)
+    incl = jnp.cumsum(need_i, axis=0)                     # (T, L)
+    pos = counts[None, :] - incl                          # (T, L)
+    cap = t_steps + 2
+    lane_ids = jnp.broadcast_to(jnp.arange(lanes)[None, :],
+                                pos.shape)
+    pos_safe = jnp.where(need_t, pos, cap)                # dump slot
+    buf = jnp.zeros((lanes, cap + 1), jnp.int32)
+    buf = buf.at[lane_ids, pos_safe].set(words_t, mode="drop")
+    return buf[:, :cap], counts, states
 
 
 @partial(jax.jit, static_argnums=(4, 5))
