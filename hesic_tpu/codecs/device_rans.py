@@ -139,25 +139,30 @@ def rans_decode_interleaved(words, counts, states, cdf_rows, n: int,
     words: (L, C) int32 u16 values; counts: (L,); states: (L,) uint32;
     cdf_rows: (n_padded >= n, S+1) int32 rows summing to 2^16 (row i is
     symbol i's CDF).  Returns symbols (n,) int32.
+
+    TPU notes: per-step CDF rows are laid out (S+1, L) so the lane axis
+    stays 128-aligned and the symbol search is S+1 vectorized compares +
+    reductions along the sublane axis — no gathers; start/freq come from
+    masked max/min over the monotone CDF instead of take_along_axis.
     """
     t_steps, pad = _pad_to_grid(n, lanes)
     s1 = cdf_rows.shape[-1]
     rows = jnp.concatenate(
         [cdf_rows[:n], jnp.tile(cdf_rows[:1], (pad, 1))], axis=0)
-    rows = rows.reshape(t_steps, lanes, s1)
+    rows = rows.reshape(t_steps, lanes, s1).transpose(0, 2, 1)  # (T,S+1,L)
     valid = (jnp.arange(t_steps * lanes) < n).reshape(t_steps, lanes)
     lane_ids = jnp.arange(lanes)
 
     def step(carry, inputs):
         x, p = carry
-        row, v = inputs  # (L, S+1), (L,)
+        row, v = inputs  # (S+1, L), (L,)
         cf = (x & jnp.uint32(0xFFFF)).astype(jnp.int32)
-        sym = jnp.sum(row[:, 1:] <= cf[:, None], axis=-1).astype(jnp.int32)
-        start = jnp.take_along_axis(row, sym[:, None], axis=-1)[:, 0]
-        freq = jnp.take_along_axis(row, sym[:, None] + 1,
-                                   axis=-1)[:, 0] - start
-        start = start.astype(jnp.uint32)
-        freq = freq.astype(jnp.uint32)
+        le = row <= cf[None, :]                       # (S+1, L)
+        sym = jnp.sum(le[1:].astype(jnp.int32), axis=0)
+        start_i = jnp.max(row * le.astype(jnp.int32), axis=0)
+        nxt = jnp.min(jnp.where(le, jnp.int32(_TOTAL), row), axis=0)
+        start = start_i.astype(jnp.uint32)
+        freq = (nxt - start_i).astype(jnp.uint32)
         x_new = freq * (x >> PROB_BITS) + cf.astype(jnp.uint32) - start
         # renormalize: pull one u16 word when x < 2^16
         need = v & (x_new < RANS_L)
@@ -182,6 +187,21 @@ def gather_intervals(cdf_rows, symbols):
     start = jnp.take_along_axis(cdf_rows, sym, axis=-1)[:, 0]
     hi = jnp.take_along_axis(cdf_rows, sym + 1, axis=-1)[:, 0]
     return start, hi - start
+
+
+def intervals_from_freq(freq, symbols):
+    """Per-symbol (start, freq) straight from frequency rows, gather-free.
+
+    freq: (..., S) int32 quantized frequencies; symbols: (...,) int32.
+    start = sum of frequencies below the symbol; masked reductions
+    vectorize better than row gathers inside large fused TPU programs.
+    """
+    s = freq.shape[-1]
+    iota = jnp.arange(s, dtype=jnp.int32)
+    sym = symbols[..., None]
+    start = jnp.sum(freq * (iota < sym), axis=-1)
+    f = jnp.sum(freq * (iota == sym), axis=-1)
+    return start, f
 
 
 # ---------------------------------------------------------------------------

@@ -35,8 +35,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..codecs.device_rans import (freq_to_cdf, gather_intervals, pack_stream,
-                                  quantize_pmf_device,
+from ..codecs.device_rans import (freq_to_cdf, intervals_from_freq,
+                                  pack_stream, quantize_pmf_device,
                                   rans_decode_interleaved,
                                   rans_encode_interleaved, unpack_stream)
 from ..entropy_models import gmm_pmf
@@ -47,15 +47,19 @@ MM_DEFAULT = 32       # symbol grid half-width
 LANES_DEFAULT = 1024  # interleaved rANS lanes
 
 
-def _gmm_cdf_rows_fast(sigma, means, weights, mm: int, k: int):
-    """(B, h, w, M*K) GMM params -> (B, M*h*w, S+1) CDF rows,
-    channel-major per item."""
+def _gmm_freq_fast(sigma, means, weights, mm: int, k: int):
+    """(B, h, w, M*K) GMM params -> (B, M*h*w, S) quantized frequency
+    rows, channel-major per item."""
     samples = jnp.arange(-mm, mm + 1, dtype=jnp.float32)
     pmf = gmm_pmf(samples, sigma, means, weights, k)  # (B, h, w, M, S)
     freq = quantize_pmf_device(pmf)
-    rows = freq_to_cdf(freq)                          # (B, h, w, M, S+1)
-    b, h, w, m, s1 = rows.shape
-    return rows.transpose(0, 3, 1, 2, 4).reshape(b, m * h * w, s1)
+    b, h, w, m, s = freq.shape
+    return freq.transpose(0, 3, 1, 2, 4).reshape(b, m * h * w, s)
+
+
+def _gmm_cdf_rows_fast(sigma, means, weights, mm: int, k: int):
+    """(B, h, w, M*K) GMM params -> (B, M*h*w, S+1) CDF rows."""
+    return freq_to_cdf(_gmm_freq_fast(sigma, means, weights, mm, k))
 
 
 def _flatten_cm(y_hat):
@@ -69,16 +73,16 @@ def _unflatten_cm(flat, h, w, m):
     return flat.reshape(b, m, h, w).transpose(0, 2, 3, 1)
 
 
-def _encode_stream(rows, y_flat, mm: int, lanes: int):
-    """vmapped per-item interleave encode.  Returns (words u16, counts,
-    states) with leading batch dim."""
-    def one(rows_i, sym_i):
-        st, fr = gather_intervals(rows_i, sym_i)
-        return rans_encode_interleaved(st.astype(jnp.int32),
-                                       fr.astype(jnp.int32), lanes)
-
+def _encode_stream(freq, y_flat, mm: int, lanes: int):
+    """vmapped per-item interleave encode from frequency rows.
+    Returns (words u16, counts, states) with leading batch dim."""
     sym = y_flat.astype(jnp.int32) + mm
-    words, counts, states = jax.vmap(one)(rows, sym)
+    starts, frs = intervals_from_freq(freq, sym)
+
+    def one(st_i, fr_i):
+        return rans_encode_interleaved(st_i, fr_i, lanes)
+
+    words, counts, states = jax.vmap(one)(starts, frs)
     return words.astype(jnp.uint16), counts.astype(jnp.int32), states
 
 
@@ -106,8 +110,8 @@ def hesic_fast_encode(module, params, x1, x2, h_matrix, mm: int,
 
     gmm1 = apply("gmm1", z1_hat)
     y1_hat = jnp.clip(jnp.round(y1), -mm, mm)
-    rows1 = _gmm_cdf_rows_fast(gmm1[0], gmm1[1], gmm1[2], mm, module.K)
-    stream1 = _encode_stream(rows1, _flatten_cm(y1_hat), mm, lanes)
+    freq1 = _gmm_freq_fast(gmm1[0], gmm1[1], gmm1[2], mm, module.K)
+    stream1 = _encode_stream(freq1, _flatten_cm(y1_hat), mm, lanes)
 
     x1_hat = apply("synthesis1", y1_hat)
     x1_warp = warp_perspective(x1, h_matrix, size)
@@ -120,8 +124,8 @@ def hesic_fast_encode(module, params, x1, x2, h_matrix, mm: int,
     y1_prior = apply("left_prior", x1_hat, h_matrix)
     gmm2 = apply("gmm2", z2_hat, y1_prior)
     y2_hat = jnp.clip(jnp.round(y2), -mm, mm)
-    rows2 = _gmm_cdf_rows_fast(gmm2[0], gmm2[1], gmm2[2], mm, module.K)
-    stream2 = _encode_stream(rows2, _flatten_cm(y2_hat), mm, lanes)
+    freq2 = _gmm_freq_fast(gmm2[0], gmm2[1], gmm2[2], mm, module.K)
+    stream2 = _encode_stream(freq2, _flatten_cm(y2_hat), mm, lanes)
 
     return z1_sym, z2_sym, stream1, stream2
 

