@@ -247,6 +247,9 @@ class DSIC(nn.Module):
     def gmm2(self, z2_hat, y1_hat):
         return self.h_s2(z2_hat, y1_hat)
 
+    def contexts(self, y1_hat):
+        return self.global_context(y1_hat)
+
     def analysis2(self, x2, g1_1, g1_2, g1_3, contexts):
         """Right-eye encoder with cost-volume warps of left features."""
         a1 = self.pic2_g_a_gdn1(self.pic2_g_a_conv1(x2))

@@ -48,7 +48,7 @@ class DSICCodec(CompressionModel):
         y1_hat = jnp.round(y1)
         _, g1_4, g1_5, g1_6 = self.jit("synthesis1")(y1_hat)
 
-        contexts = self.jit("global_context")(y1_hat)
+        contexts = self.jit("contexts")(y1_hat)
         y2 = self.jit("analysis2")(x2, g1_1, g1_2, g1_3, contexts)
         z2 = self.jit("hyper_analysis2")(y2)
         z2_strings = self.eb_compress("entropy_bottleneck2", z2)
@@ -154,7 +154,7 @@ class DSICCodec(CompressionModel):
         gmm1 = self.jit("gmm1")(z1_hat)
         y1_hat = decode_eye(gmm1, z_meta[0][0], z_meta[0][1])
         x1_hat, g1_4, g1_5, g1_6 = self.jit("synthesis1")(y1_hat)
-        contexts = self.jit("global_context")(y1_hat)
+        contexts = self.jit("contexts")(y1_hat)
 
         gmm2 = self.jit("gmm2")(z2_hat, y1_hat)
         y2_hat = decode_eye(gmm2, z_meta[1][0], z_meta[1][1])

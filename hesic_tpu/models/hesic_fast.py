@@ -1,21 +1,24 @@
 """HESIC fast codec: fused on-device programs + on-device entropy coding.
 
-The production path.  One jitted program per direction, batch-native:
+The production path.  Encoding and decoding are small pipelines of jitted
+device programs; the interleaved rANS coder runs as tensor ops, so only
+compressed bytes and tiny integer symbol tensors ever cross the host link.
 
-  encode: transforms -> EB z symbols -> GMM params -> per-pixel CDF rows ->
-          interleaved rANS encode of y1/y2, all on device, for B pairs at
-          once.  Only z symbols and the compressed u16 word streams leave
-          the chip (words fetched as a sliced transfer covering just the
-          used capacity).
-  decode: z_hat -> GMM -> CDF rows -> interleaved rANS decode -> synthesis,
-          all on device for B pairs; reconstructions never leave the chip
-          unless asked.
+BIT-EXACTNESS INVARIANT: any float computation whose result parameterizes
+the entropy coder (GMM heads -> PMF -> quantized CDF, including the
+decoded-left re-encoding chain) must produce IDENTICAL values on the
+encoder and decoder sides.  Distinct XLA programs may fuse the same
+subgraph differently and drift in f32 (observed on TPU), so those chains
+are factored into **shared jitted executables** — `_cond1` (z1 -> left-eye
+frequency rows) and `_cond2` (y1_hat, z2 -> right-eye frequency rows +
+x1_hat) — called by BOTH compress and decompress.  Program boundaries
+carry only integer tensors (z symbols, quantized y latents), which are
+exact by construction.
 
-Rationale: the host link measures ~35 MB/s with ~27 ms round-trip latency
-(profiled), so the reference's host-side per-pixel coding architecture
-(newnet1.py:916-1183) is transport-bound before it is compute-bound.
-Batching amortizes dispatch latency; on-device coding removes the CDF
-table traffic entirely.
+Rationale for on-device coding: the host link measures ~35 MB/s with
+~27 ms round-trip latency (profiled), so the reference's host-side
+per-pixel coding architecture (newnet1.py:916-1183) is transport-bound
+before it is compute-bound.
 
 Format deviations vs the reference container (all self-consistent,
 documented):
@@ -30,6 +33,7 @@ documented):
 from __future__ import annotations
 
 import time
+from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -49,17 +53,18 @@ LANES_DEFAULT = 1024  # interleaved rANS lanes
 
 def _gmm_freq_fast(sigma, means, weights, mm: int, k: int):
     """(B, h, w, M*K) GMM params -> (B, M*h*w, S) quantized frequency
-    rows, channel-major per item."""
+    rows, channel-major per item.
+
+    The optimization barrier pins the erfc-heavy PMF to ONE materialized
+    evaluation — without it XLA may re-fuse (recompute) the producer into
+    each downstream reduction, multiplying the transcendental cost.
+    """
     samples = jnp.arange(-mm, mm + 1, dtype=jnp.float32)
     pmf = gmm_pmf(samples, sigma, means, weights, k)  # (B, h, w, M, S)
     freq = quantize_pmf_device(pmf)
     b, h, w, m, s = freq.shape
-    return freq.transpose(0, 3, 1, 2, 4).reshape(b, m * h * w, s)
-
-
-def _gmm_cdf_rows_fast(sigma, means, weights, mm: int, k: int):
-    """(B, h, w, M*K) GMM params -> (B, M*h*w, S+1) CDF rows."""
-    return freq_to_cdf(_gmm_freq_fast(sigma, means, weights, mm, k))
+    freq = freq.transpose(0, 3, 1, 2, 4).reshape(b, m * h * w, s)
+    return jax.lax.optimization_barrier(freq)
 
 
 def _flatten_cm(y_hat):
@@ -73,11 +78,9 @@ def _unflatten_cm(flat, h, w, m):
     return flat.reshape(b, m, h, w).transpose(0, 2, 3, 1)
 
 
-def _encode_stream(freq, y_flat, mm: int, lanes: int):
-    """vmapped per-item interleave encode from frequency rows.
-    Returns (words u16, counts, states) with leading batch dim."""
-    sym = y_flat.astype(jnp.int32) + mm
-    starts, frs = intervals_from_freq(freq, sym)
+def _encode_stream(freq, sym_flat, lanes: int):
+    """vmapped per-item interleave encode from frequency rows."""
+    starts, frs = intervals_from_freq(freq, sym_flat)
 
     def one(st_i, fr_i):
         return rans_encode_interleaved(st_i, fr_i, lanes)
@@ -86,83 +89,14 @@ def _encode_stream(freq, y_flat, mm: int, lanes: int):
     return words.astype(jnp.uint16), counts.astype(jnp.int32), states
 
 
-def _decode_stream(rows, words, counts, states, n: int, lanes: int):
+def _decode_stream(freq, words, counts, states, n: int, lanes: int):
+    rows = freq_to_cdf(freq)
+
     def one(rows_i, w_i, c_i, s_i):
         return rans_decode_interleaved(w_i.astype(jnp.int32), c_i, s_i,
                                        rows_i, n, lanes)
 
     return jax.vmap(one)(rows, words, counts, states)
-
-
-def hesic_fast_encode(module, params, x1, x2, h_matrix, mm: int,
-                      lanes: int):
-    """Full-device HESIC encode for a batch of pairs."""
-    size = (x1.shape[1], x1.shape[2])
-
-    def apply(method, *args):
-        return module.apply({"params": params}, *args, method=method)
-
-    y1 = apply("analysis1", x1)
-    z1 = apply("hyper_analysis1", y1)
-    med1 = params["entropy_bottleneck1"]["quantiles"][:, 0, 1]
-    z1_sym = jnp.round(z1 - med1).astype(jnp.int32)
-    z1_hat = z1_sym.astype(jnp.float32) + med1  # == decoder's z1_hat
-
-    gmm1 = apply("gmm1", z1_hat)
-    y1_hat = jnp.clip(jnp.round(y1), -mm, mm)
-    freq1 = _gmm_freq_fast(gmm1[0], gmm1[1], gmm1[2], mm, module.K)
-    stream1 = _encode_stream(freq1, _flatten_cm(y1_hat), mm, lanes)
-
-    x1_hat = apply("synthesis1", y1_hat)
-    x1_warp = warp_perspective(x1, h_matrix, size)
-    y2 = apply("analysis2", x1_warp, x2)
-    z2 = apply("hyper_analysis2", y2)
-    med2 = params["entropy_bottleneck2"]["quantiles"][:, 0, 1]
-    z2_sym = jnp.round(z2 - med2).astype(jnp.int32)
-    z2_hat = z2_sym.astype(jnp.float32) + med2
-
-    y1_prior = apply("left_prior", x1_hat, h_matrix)
-    gmm2 = apply("gmm2", z2_hat, y1_prior)
-    y2_hat = jnp.clip(jnp.round(y2), -mm, mm)
-    freq2 = _gmm_freq_fast(gmm2[0], gmm2[1], gmm2[2], mm, module.K)
-    stream2 = _encode_stream(freq2, _flatten_cm(y2_hat), mm, lanes)
-
-    return z1_sym, z2_sym, stream1, stream2
-
-
-def hesic_fast_decode(module, params, z1_sym, z2_sym, stream1, stream2,
-                      h_matrix, y_shape, mm: int, lanes: int):
-    """Full-device HESIC decode for a batch of pairs."""
-    hy, wy = y_shape
-    m = module.M
-    n = m * hy * wy
-    size = (hy * 16, wy * 16)
-
-    def apply(method, *args):
-        return module.apply({"params": params}, *args, method=method)
-
-    med1 = params["entropy_bottleneck1"]["quantiles"][:, 0, 1]
-    med2 = params["entropy_bottleneck2"]["quantiles"][:, 0, 1]
-    z1_hat = z1_sym.astype(jnp.float32) + med1
-    z2_hat = z2_sym.astype(jnp.float32) + med2
-
-    gmm1 = apply("gmm1", z1_hat)
-    rows1 = _gmm_cdf_rows_fast(gmm1[0], gmm1[1], gmm1[2], mm, module.K)
-    sym1 = _decode_stream(rows1, stream1[0], stream1[1], stream1[2], n,
-                          lanes)
-    y1_hat = _unflatten_cm((sym1 - mm).astype(jnp.float32), hy, wy, m)
-
-    x1_hat = apply("synthesis1", y1_hat)
-    y1_prior = apply("left_prior", x1_hat, h_matrix)
-    gmm2 = apply("gmm2", z2_hat, y1_prior)
-    rows2 = _gmm_cdf_rows_fast(gmm2[0], gmm2[1], gmm2[2], mm, module.K)
-    sym2 = _decode_stream(rows2, stream2[0], stream2[1], stream2[2], n,
-                          lanes)
-    y2_hat = _unflatten_cm((sym2 - mm).astype(jnp.float32), hy, wy, m)
-
-    x1_hat_warp = warp_perspective(x1_hat, h_matrix, size)
-    x2_hat = apply("synthesis2", y2_hat, x1_hat_warp)
-    return x1_hat, x2_hat, y1_hat, y2_hat
 
 
 class HESICFastCodec(HESICCodec):
@@ -178,39 +112,97 @@ class HESICFastCodec(HESICCodec):
         super().__init__(module, params)
         self.mm = mm
         self.lanes = lanes
-        self._enc_fn = None
-        self._dec_fn = None
-        self._slice_fn = None
+        self._fns: dict = {}
 
-    def _encode_fn(self):
-        if self._enc_fn is None:
-            module, mm, lanes = self.module, self.mm, self.lanes
+    # ---- shared jitted programs (identical executables on both sides) ----
 
+    def _fn(self, name: str):
+        if name in self._fns:
+            return self._fns[name]
+        module, mm, lanes = self.module, self.mm, self.lanes
+
+        def apply(params, method, *args):
+            return module.apply({"params": params}, *args, method=method)
+
+        if name == "transforms_enc":
+            # images -> latents + integer symbols (encoder side only)
             @jax.jit
             def fn(params, x1, x2, h):
-                return hesic_fast_encode(module, params, x1, x2, h, mm,
-                                         lanes)
+                size = (x1.shape[1], x1.shape[2])
+                y1 = apply(params, "analysis1", x1)
+                z1 = apply(params, "hyper_analysis1", y1)
+                med1 = params["entropy_bottleneck1"]["quantiles"][:, 0, 1]
+                z1_sym = jnp.round(z1 - med1).astype(jnp.int32)
+                y1_hat = jnp.clip(jnp.round(y1), -mm, mm).astype(jnp.int32)
+                x1_warp = warp_perspective(x1, h, size)
+                y2 = apply(params, "analysis2", x1_warp, x2)
+                z2 = apply(params, "hyper_analysis2", y2)
+                med2 = params["entropy_bottleneck2"]["quantiles"][:, 0, 1]
+                z2_sym = jnp.round(z2 - med2).astype(jnp.int32)
+                y2_hat = jnp.clip(jnp.round(y2), -mm, mm).astype(jnp.int32)
+                return y1_hat, y2_hat, z1_sym, z2_sym
 
-            self._enc_fn = fn
-        return self._enc_fn
+        elif name == "cond1":
+            # SHARED: z1 symbols -> left-eye frequency rows
+            @jax.jit
+            def fn(params, z1_sym):
+                med1 = params["entropy_bottleneck1"]["quantiles"][:, 0, 1]
+                z1_hat = z1_sym.astype(jnp.float32) + med1
+                gmm1 = apply(params, "gmm1", z1_hat)
+                return _gmm_freq_fast(gmm1[0], gmm1[1], gmm1[2], mm,
+                                      module.K)
 
-    def _decode_fn(self):
-        if self._dec_fn is None:
-            module, mm, lanes = self.module, self.mm, self.lanes
+        elif name == "cond2":
+            # SHARED: decoded left latent + z2 symbols -> right-eye
+            # frequency rows and the left reconstruction
+            @jax.jit
+            def fn(params, y1_hat, z2_sym, h):
+                x1_hat = apply(params, "synthesis1",
+                               y1_hat.astype(jnp.float32))
+                y1_prior = apply(params, "left_prior", x1_hat, h)
+                med2 = params["entropy_bottleneck2"]["quantiles"][:, 0, 1]
+                z2_hat = z2_sym.astype(jnp.float32) + med2
+                gmm2 = apply(params, "gmm2", z2_hat, y1_prior)
+                freq2 = _gmm_freq_fast(gmm2[0], gmm2[1], gmm2[2], mm,
+                                       module.K)
+                return freq2, x1_hat
 
-            def fn(params, z1_sym, z2_sym, s1, s2, h, y_shape):
-                return hesic_fast_decode(module, params, z1_sym, z2_sym,
-                                         s1, s2, h, y_shape, mm, lanes)
+        elif name == "encode_stream":
+            @jax.jit
+            def fn(freq, y_hat):
+                sym = _flatten_cm(y_hat) + mm
+                return _encode_stream(freq, sym, lanes)
 
-            self._dec_fn = jax.jit(fn, static_argnums=(6,))
-        return self._dec_fn
+        elif name == "decode_stream":
+            def _decode(freq, words, counts, states, y_shape):
+                hy, wy = y_shape
+                n = module.M * hy * wy
+                sym = _decode_stream(freq, words, counts, states, n, lanes)
+                return _unflatten_cm(sym - mm, hy, wy, module.M)
+
+            fn = jax.jit(_decode, static_argnums=(4,))
+
+        elif name == "synthesis2":
+            @jax.jit
+            def fn(params, y2_hat, x1_hat, h):
+                size = (x1_hat.shape[1], x1_hat.shape[2])
+                x1_hat_warp = warp_perspective(x1_hat, h, size)
+                return apply(params, "synthesis2",
+                             y2_hat.astype(jnp.float32), x1_hat_warp)
+
+        else:
+            raise KeyError(name)
+        self._fns[name] = fn
+        return fn
 
     def _slice_words(self, words, cap: int):
-        if self._slice_fn is None:
-            self._slice_fn = jax.jit(
+        fn = self._fns.get("_slice")
+        if fn is None:
+            fn = jax.jit(
                 lambda w, c: jax.lax.dynamic_slice_in_dim(w, 0, c, axis=2),
                 static_argnums=(1,))
-        return self._slice_fn(words, cap)
+            self._fns["_slice"] = fn
+        return fn(words, cap)
 
     # ---- container ----
 
@@ -223,10 +215,14 @@ class HESICFastCodec(HESICCodec):
         x2 = jnp.asarray(x2, jnp.float32)
         h_matrix = jnp.asarray(h_matrix, jnp.float32)
         if h_matrix.shape[0] != x1.shape[0]:
-            h_matrix = jnp.broadcast_to(h_matrix,
-                                        (x1.shape[0], 3, 3))
-        z1_sym, z2_sym, s1, s2 = self._encode_fn()(
+            h_matrix = jnp.broadcast_to(h_matrix, (x1.shape[0], 3, 3))
+
+        y1_hat, y2_hat, z1_sym, z2_sym = self._fn("transforms_enc")(
             self.params, x1, x2, h_matrix)
+        freq1 = self._fn("cond1")(self.params, z1_sym)
+        s1 = self._fn("encode_stream")(freq1, y1_hat)
+        freq2, _ = self._fn("cond2")(self.params, y1_hat, z2_sym, h_matrix)
+        s2 = self._fn("encode_stream")(freq2, y2_hat)
 
         # fetch counts first, then transfer only the used word capacity
         c1 = np.asarray(s1[1])
@@ -312,16 +308,26 @@ class HESICFastCodec(HESICCodec):
             return (jnp.asarray(words.astype(np.uint16)),
                     jnp.asarray(counts), jnp.asarray(states))
 
-        x1_hat, x2_hat, y1_hat, y2_hat = self._decode_fn()(
-            self.params, jnp.asarray(np.stack(z1_list)),
-            jnp.asarray(np.stack(z2_list)), stack_streams(s1_parts),
-            stack_streams(s2_parts), jnp.asarray(np.stack(h_list)),
-            y_shape)
+        z1_sym = jnp.asarray(np.stack(z1_list))
+        z2_sym = jnp.asarray(np.stack(z2_list))
+        h_matrix = jnp.asarray(np.stack(h_list))
+        st1 = stack_streams(s1_parts)
+        st2 = stack_streams(s2_parts)
+
+        freq1 = self._fn("cond1")(self.params, z1_sym)
+        y1_hat = self._fn("decode_stream")(freq1, st1[0], st1[1], st1[2],
+                                           y_shape)
+        freq2, x1_hat = self._fn("cond2")(self.params, y1_hat, z2_sym,
+                                          h_matrix)
+        y2_hat = self._fn("decode_stream")(freq2, st2[0], st2[1], st2[2],
+                                           y_shape)
+        x2_hat = self._fn("synthesis2")(self.params, y2_hat, x1_hat,
+                                        h_matrix)
         return {
             "x1_hat": x1_hat,
             "x2_hat": x2_hat,
-            "y1_hat": y1_hat,
-            "y2_hat": y2_hat,
+            "y1_hat": y1_hat.astype(jnp.float32),
+            "y2_hat": y2_hat.astype(jnp.float32),
             "dectime": time.time() - start,
         }
 

@@ -131,7 +131,8 @@ class TestCodecRoundtrips:
         params = codec.jit("hyper_synthesis")(z_hat)
         w = extract_ar_weights(codec.params)
         _, _, y_hat_enc = ar_encode_scan(
-            w, y, params, jnp.asarray(codec.scale_table, jnp.float32))
+            w, y, params, jnp.zeros(params.shape[:3] + (0,), jnp.float32),
+            jnp.asarray(codec.scale_table, jnp.float32))
         out = codec.compress(x)
         from hesic_tpu.models.autoregressive import ar_decompress
         y_hat_dec = ar_decompress(codec, out["strings"][0], params)
