@@ -46,6 +46,46 @@ def _smooth_pair(rng, hw):
     return x1[None], x2[None]
 
 
+def _calibrate(module, rng, steps: int, hw: int = 256, batch: int = 4):
+    """Short seeded training run so the bench model's entropy code is
+    sane — an untrained prior maxes out bits/symbol and the benchmark
+    would measure pathological payload sizes instead of realistic ones."""
+    import jax
+    import jax.numpy as jnp
+    from hesic_tpu.training import (TrainState, make_optimizer,
+                                    make_train_step,
+                                    stereo_rate_distortion_loss)
+
+    def loss_fn(module, params, batch_d, rng_key):
+        out = module.apply({"params": params}, batch_d["x1"],
+                           batch_d["x2"], batch_d["h"], training=True,
+                           rngs={"noise": rng_key})
+        rd = stereo_rate_distortion_loss(out, batch_d["x1"],
+                                         batch_d["x2"], lmbda=1e-2)
+        aux = module.apply({"params": params}, method="aux_loss")
+        return rd["loss"] + aux, {"bpp": rd["bpp_loss"]}
+
+    xs = [_smooth_pair(rng, hw) for _ in range(batch)]
+    batch_d = {
+        "x1": jnp.asarray(np.concatenate([p[0] for p in xs])),
+        "x2": jnp.asarray(np.concatenate([p[1] for p in xs])),
+        "h": jnp.tile(jnp.eye(3, dtype=jnp.float32)[None],
+                      (batch, 1, 1)),
+    }
+    params = module.init(
+        {"params": jax.random.PRNGKey(0), "noise": jax.random.PRNGKey(1)},
+        batch_d["x1"][:1], batch_d["x2"][:1], batch_d["h"][:1],
+        training=True)["params"]
+    tx = make_optimizer(1e-4, 1e-3)
+    state = TrainState.create(params, tx)
+    step = make_train_step(module, tx, loss_fn)
+    key = jax.random.PRNGKey(7)
+    for i in range(steps):
+        key, sub = jax.random.split(key)
+        state, metrics = step(state, batch_d, sub)
+    return state.params
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -54,11 +94,16 @@ def main():
     hw = int(os.environ.get("BENCH_SIZE", "512"))
     batch = int(os.environ.get("BENCH_BATCH", "8"))
     n_batches = int(os.environ.get("BENCH_BATCHES", "4"))
+    calib_steps = int(os.environ.get("BENCH_CALIB_STEPS", "60"))
     rng = np.random.RandomState(0)
 
     module = HESIC(N=128, M=192, K=5)
-    codec = HESICFastCodec.init(
-        module, [(1, hw, hw, 3), (1, hw, hw, 3), (1, 3, 3)])
+    if calib_steps > 0:
+        params = _calibrate(module, rng, calib_steps)
+        codec = HESICFastCodec(module, params)
+    else:
+        codec = HESICFastCodec.init(
+            module, [(1, hw, hw, 3), (1, hw, hw, 3), (1, 3, 3)])
     codec.update()
 
     h = jnp.tile(jnp.eye(3, dtype=jnp.float32)[None], (batch, 1, 1))

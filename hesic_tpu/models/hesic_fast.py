@@ -196,20 +196,23 @@ class HESICFastCodec(HESICCodec):
                              y2_hat.astype(jnp.float32), x1_hat_warp)
 
         elif name == "pack_outputs":
-            # bundle every encoder output into ONE int32 vector so the
+            # bundle every encoder output into ONE uint16 vector so the
             # host pays a single d2h round-trip (each sync costs ~27 ms
-            # through the tunnel)
+            # through the tunnel) at the minimal byte width
             def _pack(s1, s2, z1_sym, z2_sym, cap1: int, cap2: int):
                 parts = []
                 for (words, counts, states), cap in ((s1, cap1), (s2, cap2)):
                     w = jax.lax.dynamic_slice_in_dim(words, 0, cap, axis=2)
                     parts.extend([
-                        counts.reshape(-1),
+                        counts.astype(jnp.uint16).reshape(-1),
                         jax.lax.bitcast_convert_type(
-                            states, jnp.int32).reshape(-1),
-                        w.astype(jnp.int32).reshape(-1),
+                            states, jnp.uint16).reshape(-1),
+                        w.astype(jnp.uint16).reshape(-1),
                     ])
-                parts.extend([z1_sym.reshape(-1), z2_sym.reshape(-1)])
+                # z symbols are small signed ints; bias into u16
+                parts.extend([
+                    (z1_sym + 32768).astype(jnp.uint16).reshape(-1),
+                    (z2_sym + 32768).astype(jnp.uint16).reshape(-1)])
                 return jnp.concatenate(parts)
 
             fn = jax.jit(_pack, static_argnums=(4, 5))
@@ -220,10 +223,12 @@ class HESICFastCodec(HESICCodec):
         return fn
 
     def _unpack_fn(self, specs):
-        """Jitted splitter: one int32 vector -> typed decoder inputs.
+        """Jitted splitter: one uint16 vector -> typed decoder inputs.
 
-        specs: tuple of ((shape...), kind) with kind 'i' (int32) or
-        'u' (uint32 via bitcast).  Cached per spec signature.
+        specs: tuple of ((shape...), kind) with kind
+        'c' counts (u16 -> int32), 'u' states (u16 pairs -> uint32),
+        'w' words (u16 -> int32), 'z' biased z symbols (u16 -> int32).
+        Cached per spec signature.
         """
         key = ("_unpack", specs)
         fn = self._fns.get(key)
@@ -236,13 +241,20 @@ class HESICFastCodec(HESICCodec):
                     size = 1
                     for d in shape:
                         size *= d
-                    piece = jax.lax.dynamic_slice_in_dim(
-                        buf, off, size).reshape(shape)
                     if kind == "u":
-                        piece = jax.lax.bitcast_convert_type(piece,
-                                                             jnp.uint32)
+                        piece = jax.lax.dynamic_slice_in_dim(
+                            buf, off, size * 2).reshape(shape + (2,))
+                        piece = jax.lax.bitcast_convert_type(
+                            piece, jnp.uint32)
+                        off += size * 2
+                    else:
+                        piece = jax.lax.dynamic_slice_in_dim(
+                            buf, off, size).reshape(shape)
+                        piece = piece.astype(jnp.int32)
+                        if kind == "z":
+                            piece = piece - 32768
+                        off += size
                     out.append(piece)
-                    off += size
                 return tuple(out)
 
             self._fns[key] = fn
@@ -277,23 +289,27 @@ class HESICFastCodec(HESICCodec):
         cap1 = min(_bucket_cap(int(c1.max())), s1[0].shape[2])
         cap2 = min(_bucket_cap(int(c2.max())), s2[0].shape[2])
         packed = np.asarray(self._fn("pack_outputs")(
-            s1, s2, z1_sym, z2_sym, cap1, cap2))
+            s1, s2, z1_sym, z2_sym, cap1, cap2))  # uint16 vector
         off = 0
 
-        def take(count, shape, dtype=np.int32):
+        def take(count, shape):
             nonlocal off
             out = packed[off:off + count].reshape(shape)
             off += count
-            return out.astype(dtype) if dtype != np.int32 else out
+            return out
 
         _ = take(b * lanes, (b, lanes))  # counts1 (already fetched)
-        st1 = take(b * lanes, (b, lanes)).view(np.uint32)
-        w1 = take(b * lanes * cap1, (b, lanes, cap1))
+        st1 = take(2 * b * lanes, (b, lanes, 2)).copy().view(
+            np.uint32)[..., 0]
+        w1 = take(b * lanes * cap1, (b, lanes, cap1)).astype(np.int32)
         _ = take(b * lanes, (b, lanes))  # counts2
-        st2 = take(b * lanes, (b, lanes)).view(np.uint32)
-        w2 = take(b * lanes * cap2, (b, lanes, cap2))
-        z1_np = take(int(np.prod(z1_sym.shape)), z1_sym.shape)
-        z2_np = take(int(np.prod(z2_sym.shape)), z2_sym.shape)
+        st2 = take(2 * b * lanes, (b, lanes, 2)).copy().view(
+            np.uint32)[..., 0]
+        w2 = take(b * lanes * cap2, (b, lanes, cap2)).astype(np.int32)
+        z1_np = take(int(np.prod(z1_sym.shape)),
+                     z1_sym.shape).astype(np.int32) - 32768
+        z2_np = take(int(np.prod(z2_sym.shape)),
+                     z2_sym.shape).astype(np.int32) - 32768
         h_np = np.asarray(h_matrix)
 
         blobs = []
@@ -365,16 +381,21 @@ class HESICFastCodec(HESICCodec):
             states = np.stack([p[2] for p in parts])
             return words, counts, states
 
-        # single h2d transfer: every decoder input packed into one vector
+        # single h2d transfer: every decoder input packed into one u16 vector
         w1, c1, st1 = stack_streams(s1_parts)
         w2, c2, st2 = stack_streams(s2_parts)
         z1_np = np.stack(z1_list)
         z2_np = np.stack(z2_list)
         buf = np.concatenate([
-            c1.reshape(-1), st1.view(np.int32).reshape(-1), w1.reshape(-1),
-            c2.reshape(-1), st2.view(np.int32).reshape(-1), w2.reshape(-1),
-            z1_np.reshape(-1), z2_np.reshape(-1),
-        ]).astype(np.int32)
+            c1.astype(np.uint16).reshape(-1),
+            st1.astype(np.uint32).view(np.uint16).reshape(-1),
+            w1.astype(np.uint16).reshape(-1),
+            c2.astype(np.uint16).reshape(-1),
+            st2.astype(np.uint32).view(np.uint16).reshape(-1),
+            w2.astype(np.uint16).reshape(-1),
+            (z1_np + 32768).astype(np.uint16).reshape(-1),
+            (z2_np + 32768).astype(np.uint16).reshape(-1),
+        ])
         buf_dev = jnp.asarray(buf)
         h_matrix = jnp.asarray(np.stack(h_list))
 
@@ -382,11 +403,11 @@ class HESICFastCodec(HESICCodec):
         lanes = self.lanes
         z_shape4 = z1_np.shape
         specs = [
-            ((b, lanes), "i"), ((b, lanes), "u"),
-            ((b, lanes, w1.shape[2]), "i"),
-            ((b, lanes), "i"), ((b, lanes), "u"),
-            ((b, lanes, w2.shape[2]), "i"),
-            (z_shape4, "i"), (z_shape4, "i"),
+            ((b, lanes), "c"), ((b, lanes), "u"),
+            ((b, lanes, w1.shape[2]), "w"),
+            ((b, lanes), "c"), ((b, lanes), "u"),
+            ((b, lanes, w2.shape[2]), "w"),
+            (z_shape4, "z"), (z_shape4, "z"),
         ]
         unpack = self._unpack_fn(tuple(
             (tuple(s), k) for s, k in specs))

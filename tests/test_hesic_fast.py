@@ -25,12 +25,16 @@ class TestFastRoundtrip:
         out = codec.compress_fast(x1, x2, h)
         assert out["bpp_real"] > 0
         rec = codec.decompress_fast(out["blob"])
-        # y_hat must equal the encoder-side clip(round(y1), +-mm)
-        y1 = codec.jit("analysis1")(x1)
-        y1_hat_expected = np.clip(np.round(np.asarray(y1)), -codec.mm,
-                                  codec.mm)
-        np.testing.assert_array_equal(np.asarray(rec["y1_hat"]),
-                                      y1_hat_expected)
+        # THE contract: the decoder reproduces the encoder's own quantized
+        # latents bit-exactly (same fused program on the encoder side)
+        y1h_enc, y2h_enc, _, _ = codec._fn("transforms_enc")(
+            codec.params, x1, x2, h)
+        np.testing.assert_array_equal(
+            np.asarray(rec["y1_hat"]),
+            np.asarray(y1h_enc).astype(np.float32))
+        np.testing.assert_array_equal(
+            np.asarray(rec["y2_hat"]),
+            np.asarray(y2h_enc).astype(np.float32))
         assert rec["x1_hat"].shape == x1.shape
         assert rec["x2_hat"].shape == x2.shape
         assert np.all(np.isfinite(np.asarray(rec["x2_hat"])))
