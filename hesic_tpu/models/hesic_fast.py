@@ -113,10 +113,15 @@ class HESICFastCodec(HESICCodec):
     """
 
     def __init__(self, module, params, mm: int = MM_DEFAULT,
-                 lanes: int = LANES_DEFAULT):
+                 lanes: int = LANES_DEFAULT, codec_batch: int = 8):
         super().__init__(module, params)
         self.mm = mm
         self.lanes = lanes
+        # The conditioning programs (cond1/cond2) must be the SAME compiled
+        # executable on the encoder and decoder — different batch shapes
+        # compile differently and drift in f32.  All cond calls therefore
+        # run at this canonical padded batch size, in chunks.
+        self.codec_batch = codec_batch
         self._fns: dict = {}
 
     # ---- shared jitted programs (identical executables on both sides) ----
@@ -222,6 +227,42 @@ class HESICFastCodec(HESICCodec):
         self._fns[name] = fn
         return fn
 
+    def _cond1(self, z1_sym):
+        """cond1 at the canonical batch size (padded/chunked)."""
+        return self._run_canonical(
+            lambda zp: self._fn("cond1")(self.params, zp), (z1_sym,))
+
+    def _cond2(self, y1_hat, z2_sym, h_matrix):
+        return self._run_canonical(
+            lambda yp, zp, hp: self._fn("cond2")(self.params, yp, zp, hp),
+            (y1_hat, z2_sym, h_matrix))
+
+    def _run_canonical(self, fn, args):
+        """Run `fn` over batches padded to exactly `codec_batch` items."""
+        b = args[0].shape[0]
+        b0 = self.codec_batch
+        outs = []
+        for lo in range(0, b, b0):
+            hi = min(lo + b0, b)
+            chunk = [a[lo:hi] for a in args]
+            pad = b0 - (hi - lo)
+            if pad:
+                chunk = [
+                    jnp.concatenate(
+                        [c, jnp.broadcast_to(c[-1:],
+                                             (pad,) + c.shape[1:])])
+                    for c in chunk
+                ]
+            res = fn(*chunk)
+            if not isinstance(res, tuple):
+                res = (res,)
+            outs.append(tuple(r[: hi - lo] for r in res))
+        merged = tuple(
+            jnp.concatenate([o[i] for o in outs]) if len(outs) > 1
+            else outs[0][i]
+            for i in range(len(outs[0])))
+        return merged if len(merged) > 1 else merged[0]
+
     def _unpack_fn(self, specs):
         """Jitted splitter: one uint16 vector -> typed decoder inputs.
 
@@ -275,9 +316,9 @@ class HESICFastCodec(HESICCodec):
 
         y1_hat, y2_hat, z1_sym, z2_sym = self._fn("transforms_enc")(
             self.params, x1, x2, h_matrix)
-        freq1 = self._fn("cond1")(self.params, z1_sym)
+        freq1 = self._cond1(z1_sym)
         s1 = self._fn("encode_stream")(freq1, y1_hat)
-        freq2, _ = self._fn("cond2")(self.params, y1_hat, z2_sym, h_matrix)
+        freq2, _ = self._cond2(y1_hat, z2_sym, h_matrix)
         s2 = self._fn("encode_stream")(freq2, y2_hat)
 
         # one sync for the counts (sets the word capacity), one sync for
@@ -413,10 +454,9 @@ class HESICFastCodec(HESICCodec):
             (tuple(s), k) for s, k in specs))
         (c1d, st1d, w1d, c2d, st2d, w2d, z1_sym, z2_sym) = unpack(buf_dev)
 
-        freq1 = self._fn("cond1")(self.params, z1_sym)
+        freq1 = self._cond1(z1_sym)
         y1_hat = self._fn("decode_stream")(freq1, w1d, c1d, st1d, y_shape)
-        freq2, x1_hat = self._fn("cond2")(self.params, y1_hat, z2_sym,
-                                          h_matrix)
+        freq2, x1_hat = self._cond2(y1_hat, z2_sym, h_matrix)
         y2_hat = self._fn("decode_stream")(freq2, w2d, c2d, st2d, y_shape)
         x2_hat = self._fn("synthesis2")(self.params, y2_hat, x1_hat,
                                         h_matrix)
