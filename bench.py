@@ -97,13 +97,15 @@ def main():
     calib_steps = int(os.environ.get("BENCH_CALIB_STEPS", "60"))
     rng = np.random.RandomState(0)
 
+    mm = int(os.environ.get("BENCH_MM", "16"))
     module = HESIC(N=128, M=192, K=5)
     if calib_steps > 0:
         params = _calibrate(module, rng, calib_steps)
-        codec = HESICFastCodec(module, params)
+        codec = HESICFastCodec(module, params, mm=mm)
     else:
         codec = HESICFastCodec.init(
             module, [(1, hw, hw, 3), (1, hw, hw, 3), (1, 3, 3)])
+        codec = HESICFastCodec(codec.module, codec.params, mm=mm)
     codec.update()
 
     h = jnp.tile(jnp.eye(3, dtype=jnp.float32)[None], (batch, 1, 1))
@@ -112,14 +114,14 @@ def main():
     x2 = jnp.asarray(np.concatenate([p[1] for p in xs]))
 
     # warmup: compile both directions
-    out = codec.compress_fast(x1, x2, h)
-    rec = codec.decompress_fast(out["blobs"])
+    out = codec.compress_fast(x1, x2, h, batch_container=True)
+    rec = codec.decompress_fast_batch(out["blob"])
     jax.block_until_ready(rec["x2_hat"])
 
     start = time.time()
     for _ in range(n_batches):
-        out = codec.compress_fast(x1, x2, h)
-        rec = codec.decompress_fast(out["blobs"])
+        out = codec.compress_fast(x1, x2, h, batch_container=True)
+        rec = codec.decompress_fast_batch(out["blob"])
     jax.block_until_ready(rec["x2_hat"])
     elapsed = time.time() - start
     pairs_per_sec = n_batches * batch / elapsed

@@ -88,3 +88,23 @@ class TestBatchedFast:
         rec0 = codec.decompress_fast(out["blobs"][1])
         np.testing.assert_array_equal(np.asarray(rec0["y1_hat"])[0],
                                       expected[1])
+
+    def test_batch_container_roundtrip(self):
+        rng = np.random.RandomState(6)
+        b, hw = 3, 64
+        x1 = jnp.asarray(rng.rand(b, hw, hw, 3), jnp.float32)
+        x2 = jnp.asarray(rng.rand(b, hw, hw, 3), jnp.float32)
+        h = jnp.tile(jnp.eye(3)[None], (b, 1, 1))
+        module = HESIC(N=16, M=24, K=2)
+        codec = HESICFastCodec.init(
+            module, [(1, hw, hw, 3), (1, hw, hw, 3), (1, 3, 3)])
+        codec.update()
+        out = codec.compress_fast(x1, x2, h, batch_container=True)
+        assert len(out["blobs"]) == 1
+        rec = codec.decompress_fast_batch(out["blob"])
+        ref = codec.decompress_fast(
+            codec.compress_fast(x1, x2, h)["blobs"])
+        np.testing.assert_array_equal(np.asarray(rec["y1_hat"]),
+                                      np.asarray(ref["y1_hat"]))
+        np.testing.assert_array_equal(np.asarray(rec["y2_hat"]),
+                                      np.asarray(ref["y2_hat"]))
