@@ -13,8 +13,9 @@ from typing import Optional
 
 from ..models import (DSIC, HESIC, Cheng2020Anchor, Cheng2020Attention,
                       DSICCodec, DSICPlus, FactorizedPrior,
-                      FactorizedPriorCodec, HESICCodec, HESICPlus,
-                      HESICPlusCodec, HESICPlusTogether, HESICTogether,
+                      FactorizedPriorCodec, HESICCodec, HESICFastCodec,
+                      HESICPlus, HESICPlusCodec, HESICPlusTogether,
+                      HESICTogether,
                       JointAutoregressiveCodec,
                       JointAutoregressiveHierarchicalPriors,
                       MeanScaleHyperprior, MeanScaleHyperpriorCodec,
@@ -28,7 +29,7 @@ model_architectures = {
                 JointAutoregressiveCodec),
     "cheng2020-anchor": (Cheng2020Anchor, JointAutoregressiveCodec),
     "cheng2020-attn": (Cheng2020Attention, JointAutoregressiveCodec),
-    "hesic": (HESIC, HESICCodec),
+    "hesic": (HESIC, HESICFastCodec),
     "hesic-together": (HESICTogether, HESICCodec),
     "hesic-plus": (HESICPlus, HESICPlusCodec),
     "hesic-plus-together": (HESICPlusTogether, HESICPlusCodec),
