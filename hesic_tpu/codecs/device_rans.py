@@ -66,13 +66,11 @@ def _pad_to_grid(n: int, lanes: int):
     return t, t * lanes - n
 
 
-@partial(jax.jit, static_argnums=(2,))
-def rans_encode_interleaved(starts, freqs, lanes: int):
-    """Encode n symbols given per-symbol (start, freq) intervals.
+def rans_encode_grid(starts, freqs, valid):
+    """Encode a (T, L) grid of intervals; all L lanes advance in lockstep.
 
-    starts/freqs: (n,) int32 with freq >= 1, start+freq <= 2^16.
-    Returns (words (L, T+2) int32 [u16 values], counts (L,) int32,
-    states (L,) uint32).  Padding slots are skipped via masking.
+    starts/freqs: (T, L) uint32; valid: (T, L) bool (False slots skipped).
+    Returns (words (L, T+2) int32 [u16 values], counts (L,), states (L,)).
 
     TPU notes: the scan carries only the (L,) lane states — emitted words
     stream out as stacked scan outputs and are compacted into per-lane
@@ -81,17 +79,8 @@ def rans_encode_interleaved(starts, freqs, lanes: int):
     correction (q <= 2^16, so one correction step is exact) — hardware
     integer division is much slower on the VPU.
     """
-    n = starts.shape[0]
-    t_steps, pad = _pad_to_grid(n, lanes)
-    starts = jnp.concatenate(
-        [starts.astype(jnp.uint32), jnp.zeros((pad,), jnp.uint32)])
-    freqs = jnp.concatenate(
-        [freqs.astype(jnp.uint32), jnp.ones((pad,), jnp.uint32)])
-    valid = (jnp.arange(t_steps * lanes) < n)
-    starts = starts.reshape(t_steps, lanes)
-    freqs = freqs.reshape(t_steps, lanes)
+    t_steps, lanes = starts.shape
     recips = 1.0 / freqs.astype(jnp.float32)
-    valid = valid.reshape(t_steps, lanes)
 
     def step(x, inputs):
         s, f, rcp, v = inputs
@@ -131,26 +120,43 @@ def rans_encode_interleaved(starts, freqs, lanes: int):
     return buf[:, :cap], counts, states
 
 
-@partial(jax.jit, static_argnums=(4, 5))
-def rans_decode_interleaved(words, counts, states, cdf_rows, n: int,
-                            lanes: int):
-    """Decode n symbols whose CDF rows are known on device.
-
-    words: (L, C) int32 u16 values; counts: (L,); states: (L,) uint32;
-    cdf_rows: (n_padded >= n, S+1) int32 rows summing to 2^16 (row i is
-    symbol i's CDF).  Returns symbols (n,) int32.
-
-    TPU notes: per-step CDF rows are laid out (S+1, L) so the lane axis
-    stays 128-aligned and the symbol search is S+1 vectorized compares +
-    reductions along the sublane axis — no gathers; start/freq come from
-    masked max/min over the monotone CDF instead of take_along_axis.
-    """
+def grid_from_flat(arr, lanes: int, fill):
+    """(n,) -> ((T, L), valid (T, L)) with round-robin lane assignment."""
+    n = arr.shape[0]
     t_steps, pad = _pad_to_grid(n, lanes)
-    s1 = cdf_rows.shape[-1]
-    rows = jnp.concatenate(
-        [cdf_rows[:n], jnp.tile(cdf_rows[:1], (pad, 1))], axis=0)
-    rows = rows.reshape(t_steps, lanes, s1).transpose(0, 2, 1)  # (T,S+1,L)
+    arr = jnp.concatenate(
+        [arr, jnp.full((pad,), fill, arr.dtype)])
     valid = (jnp.arange(t_steps * lanes) < n).reshape(t_steps, lanes)
+    return arr.reshape(t_steps, lanes), valid
+
+
+@partial(jax.jit, static_argnums=(2,))
+def rans_encode_interleaved(starts, freqs, lanes: int):
+    """Encode n symbols given per-symbol (start, freq) intervals.
+
+    starts/freqs: (n,) int32 with freq >= 1, start+freq <= 2^16.
+    Returns (words (L, T+2) int32 [u16 values], counts (L,) int32,
+    states (L,) uint32).  Padding slots are skipped via masking.
+    """
+    s_grid, valid = grid_from_flat(starts.astype(jnp.uint32), lanes,
+                                   jnp.uint32(0))
+    f_grid, _ = grid_from_flat(freqs.astype(jnp.uint32), lanes,
+                               jnp.uint32(1))
+    return rans_encode_grid(s_grid, f_grid, valid)
+
+
+def rans_decode_grid(words, counts, states, rows, valid):
+    """Decode a (T, L) grid from per-lane word buffers.
+
+    words: (L, C) int32 u16 values; counts/states: (L,);
+    rows: (T, S+1, L) int32 CDF rows (S-major so the lane axis stays
+    128-aligned); valid: (T, L).  Returns symbols (T, L) int32.
+
+    TPU notes: the symbol search is S+1 vectorized compares + reductions
+    along the sublane axis — no gathers; start/freq come from masked
+    max/min over the monotone CDF instead of take_along_axis.
+    """
+    t_steps, lanes = valid.shape
     lane_ids = jnp.arange(lanes)
 
     def step(carry, inputs):
@@ -175,6 +181,25 @@ def rans_decode_interleaved(words, counts, states, cdf_rows, n: int,
 
     init = (states.astype(jnp.uint32), counts.astype(jnp.int32))
     (_, _), syms = jax.lax.scan(step, init, (rows, valid))
+    return syms
+
+
+@partial(jax.jit, static_argnums=(4, 5))
+def rans_decode_interleaved(words, counts, states, cdf_rows, n: int,
+                            lanes: int):
+    """Decode n symbols whose CDF rows are known on device.
+
+    words: (L, C) int32 u16 values; counts: (L,); states: (L,) uint32;
+    cdf_rows: (n_padded >= n, S+1) int32 rows summing to 2^16 (row i is
+    symbol i's CDF).  Returns symbols (n,) int32.
+    """
+    t_steps, pad = _pad_to_grid(n, lanes)
+    s1 = cdf_rows.shape[-1]
+    rows = jnp.concatenate(
+        [cdf_rows[:n], jnp.tile(cdf_rows[:1], (pad, 1))], axis=0)
+    rows = rows.reshape(t_steps, lanes, s1).transpose(0, 2, 1)  # (T,S+1,L)
+    valid = (jnp.arange(t_steps * lanes) < n).reshape(t_steps, lanes)
+    syms = rans_decode_grid(words, counts, states, rows, valid)
     return syms.reshape(-1)[:n]
 
 

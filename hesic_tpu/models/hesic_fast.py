@@ -41,8 +41,8 @@ import numpy as np
 
 from ..codecs.device_rans import (freq_to_cdf, intervals_from_freq,
                                   pack_stream, quantize_pmf_device,
-                                  rans_decode_interleaved,
-                                  rans_encode_interleaved, unpack_stream)
+                                  rans_decode_grid, rans_encode_grid,
+                                  unpack_stream)
 from ..entropy_models import gmm_pmf
 from ..geometry import warp_perspective
 from .hesic_codec import HESICCodec
@@ -84,24 +84,60 @@ def _unflatten_cm(flat, h, w, m):
 
 
 def _encode_stream(freq, sym_flat, lanes: int):
-    """vmapped per-item interleave encode from frequency rows."""
+    """Batched interleave encode from frequency rows.
+
+    The batch dimension MERGES into the lane axis (lane b*L + l), so all
+    B*L streams advance in ONE lockstep scan — the scan is step-overhead
+    bound, so width is nearly free.  Per-item streams stay independent
+    (same per-pair container format).  Returns (words u16 (B, L, cap),
+    counts (B, L), states (B, L)).
+    """
+    b, n = sym_flat.shape
     starts, frs = intervals_from_freq(freq, sym_flat)
+    t_steps = -(-n // lanes)
+    pad = t_steps * lanes - n
 
-    def one(st_i, fr_i):
-        return rans_encode_interleaved(st_i, fr_i, lanes)
+    def to_grid(a, fill):
+        a = jnp.concatenate(
+            [a, jnp.full((b, pad), fill, a.dtype)], axis=1)
+        # (B, T, L) -> (T, B*L) with merged lane index b*L + l
+        return a.reshape(b, t_steps, lanes).transpose(1, 0, 2).reshape(
+            t_steps, b * lanes)
 
-    words, counts, states = jax.vmap(one)(starts, frs)
-    return words.astype(jnp.uint16), counts.astype(jnp.int32), states
+    s_grid = to_grid(starts.astype(jnp.uint32), 0)
+    f_grid = to_grid(frs.astype(jnp.uint32), 1)
+    valid = jnp.broadcast_to(
+        (jnp.arange(t_steps * lanes) < n).reshape(t_steps, lanes)[:, None],
+        (t_steps, b, lanes)).reshape(t_steps, b * lanes)
+    words, counts, states = rans_encode_grid(s_grid, f_grid, valid)
+    cap = words.shape[1]
+    return (words.reshape(b, lanes, cap).astype(jnp.uint16),
+            counts.reshape(b, lanes).astype(jnp.int32),
+            states.reshape(b, lanes))
 
 
 def _decode_stream(freq, words, counts, states, n: int, lanes: int):
-    rows = freq_to_cdf(freq)
-
-    def one(rows_i, w_i, c_i, s_i):
-        return rans_decode_interleaved(w_i.astype(jnp.int32), c_i, s_i,
-                                       rows_i, n, lanes)
-
-    return jax.vmap(one)(rows, words, counts, states)
+    """Batched interleave decode; batch merged into the lane axis."""
+    rows = freq_to_cdf(freq)                       # (B, n, S+1)
+    b, _, s1 = rows.shape
+    t_steps = -(-n // lanes)
+    pad = t_steps * lanes - n
+    rows = jnp.concatenate(
+        [rows, jnp.tile(rows[:, :1], (1, pad, 1))], axis=1)
+    # (B, T, L, S+1) -> (T, S+1, B*L)
+    rows = rows.reshape(b, t_steps, lanes, s1).transpose(1, 3, 0, 2)
+    rows = rows.reshape(t_steps, s1, b * lanes)
+    valid = jnp.broadcast_to(
+        (jnp.arange(t_steps * lanes) < n).reshape(t_steps, lanes)[:, None],
+        (t_steps, b, lanes)).reshape(t_steps, b * lanes)
+    cap = words.shape[-1]
+    syms = rans_decode_grid(
+        words.astype(jnp.int32).reshape(b * lanes, cap),
+        counts.reshape(b * lanes), states.reshape(b * lanes), rows, valid)
+    # (T, B*L) -> (B, n)
+    syms = syms.reshape(t_steps, b, lanes).transpose(1, 0, 2).reshape(
+        b, t_steps * lanes)
+    return syms[:, :n]
 
 
 class HESICFastCodec(HESICCodec):
