@@ -49,16 +49,18 @@ class StereoEncoder(nn.Module):
 
     N: int = 128
     M: int = 192
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x):
-        x = Conv(self.N)(x)
-        x = GDN()(x)
-        x = Conv(self.N)(x)
-        x = GDN()(x)
-        x = Conv(self.N)(x)
-        x = GDN()(x)
-        return Conv(self.M)(x)
+        d = self.dtype
+        x = Conv(self.N, dtype=d)(x)
+        x = GDN(dtype=d)(x)
+        x = Conv(self.N, dtype=d)(x)
+        x = GDN(dtype=d)(x)
+        x = Conv(self.N, dtype=d)(x)
+        x = GDN(dtype=d)(x)
+        return Conv(self.M, dtype=d)(x).astype(jnp.float32)
 
 
 class StereoDecoder(nn.Module):
@@ -66,16 +68,18 @@ class StereoDecoder(nn.Module):
     reference newnet1.py:603-624)."""
 
     N: int = 128
+    dtype: object = None
 
     @nn.compact
     def __call__(self, y_hat):
-        x = Deconv(self.N)(y_hat)
-        x = GDN(inverse=True)(x)
-        x = Deconv(self.N)(x)
-        x = GDN(inverse=True)(x)
-        x = Deconv(self.N)(x)
-        x = GDN(inverse=True)(x)
-        return Deconv(3)(x)
+        d = self.dtype
+        x = Deconv(self.N, dtype=d)(y_hat)
+        x = GDN(inverse=True, dtype=d)(x)
+        x = Deconv(self.N, dtype=d)(x)
+        x = GDN(inverse=True, dtype=d)(x)
+        x = Deconv(self.N, dtype=d)(x)
+        x = GDN(inverse=True, dtype=d)(x)
+        return Deconv(3, dtype=d)(x).astype(jnp.float32)
 
 
 class StereoEncoder2(nn.Module):
@@ -84,19 +88,21 @@ class StereoEncoder2(nn.Module):
 
     N: int = 128
     M: int = 192
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x1_warp, x2):
+        d = self.dtype
         x = jnp.concatenate([x1_warp, x2], axis=-1)
-        x = Conv(3, stride=1)(x)
-        x = GDN()(x)
-        x = Conv(self.N)(x)
-        x = GDN()(x)
-        x = Conv(self.N)(x)
-        x = GDN()(x)
-        x = Conv(self.N)(x)
-        x = GDN()(x)
-        return Conv(self.M)(x)
+        x = Conv(3, stride=1, dtype=d)(x)
+        x = GDN(dtype=d)(x)
+        x = Conv(self.N, dtype=d)(x)
+        x = GDN(dtype=d)(x)
+        x = Conv(self.N, dtype=d)(x)
+        x = GDN(dtype=d)(x)
+        x = Conv(self.N, dtype=d)(x)
+        x = GDN(dtype=d)(x)
+        return Conv(self.M, dtype=d)(x).astype(jnp.float32)
 
 
 class StereoDecoder2(nn.Module):
@@ -104,19 +110,22 @@ class StereoDecoder2(nn.Module):
     left reconstruction (reference newnet1.py:657-692)."""
 
     N: int = 128
+    dtype: object = None
 
     @nn.compact
     def __call__(self, y_hat, x1_hat_warp):
-        x = Deconv(self.N)(y_hat)
-        x = GDN(inverse=True)(x)
-        x = Deconv(self.N)(x)
-        x = GDN(inverse=True)(x)
-        x = Deconv(self.N)(x)
-        x = GDN(inverse=True)(x)
-        x = Deconv(3)(x)
-        x = GDN(inverse=True)(x)
-        x = jnp.concatenate([x, x1_hat_warp], axis=-1)
-        return Deconv(3, stride=1)(x)
+        d = self.dtype
+        x = Deconv(self.N, dtype=d)(y_hat)
+        x = GDN(inverse=True, dtype=d)(x)
+        x = Deconv(self.N, dtype=d)(x)
+        x = GDN(inverse=True, dtype=d)(x)
+        x = Deconv(self.N, dtype=d)(x)
+        x = GDN(inverse=True, dtype=d)(x)
+        x = Deconv(3, dtype=d)(x)
+        x = GDN(inverse=True, dtype=d)(x)
+        x = jnp.concatenate(
+            [x, x1_hat_warp.astype(x.dtype)], axis=-1)
+        return Deconv(3, stride=1, dtype=d)(x).astype(jnp.float32)
 
 
 class HyperEncoder(nn.Module):
@@ -124,15 +133,17 @@ class HyperEncoder(nn.Module):
     (encode_hyper, reference newnet1.py:420-437)."""
 
     N: int = 128
+    dtype: object = None
 
     @nn.compact
     def __call__(self, y):
+        d = self.dtype
         z = jnp.abs(y)
-        z = Conv(self.N, stride=1)(z)
+        z = Conv(self.N, stride=1, dtype=d)(z)
         z = nn.relu(z)
-        z = Conv(self.N)(z)
+        z = Conv(self.N, dtype=d)(z)
         z = nn.relu(z)
-        return Conv(self.N)(z)
+        return Conv(self.N, dtype=d)(z).astype(jnp.float32)
 
 
 class GmmHyperY1(nn.Module):
@@ -214,17 +225,20 @@ class HESIC(nn.Module):
     N: int = 128
     M: int = 192
     K: int = 5
+    dtype: object = None  # transform compute dtype (e.g. bf16); GMM heads
+    # and likelihoods stay f32
 
     entropy_bottlenecks = ("entropy_bottleneck1", "entropy_bottleneck2")
 
     def setup(self):
         n, m, k = self.N, self.M, self.K
-        self.encoder1 = StereoEncoder(N=n, M=m)
-        self.encoder2 = StereoEncoder2(N=n, M=m)
-        self.decoder1 = StereoDecoder(N=n)
-        self.decoder2 = StereoDecoder2(N=n)
-        self.h_a1 = HyperEncoder(N=n)
-        self.h_a2 = HyperEncoder(N=n)
+        d = self.dtype
+        self.encoder1 = StereoEncoder(N=n, M=m, dtype=d)
+        self.encoder2 = StereoEncoder2(N=n, M=m, dtype=d)
+        self.decoder1 = StereoDecoder(N=n, dtype=d)
+        self.decoder2 = StereoDecoder2(N=n, dtype=d)
+        self.h_a1 = HyperEncoder(N=n, dtype=d)
+        self.h_a2 = HyperEncoder(N=n, dtype=d)
         self.h_s1 = GmmHyperY1(N=n, M=m, K=k)
         self.h_s2 = GmmHyperY2(N=n, M=m, K=k)
         self.entropy_bottleneck1 = EntropyBottleneck(channels=n)
