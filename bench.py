@@ -92,13 +92,15 @@ def main():
     from hesic_tpu.models import HESIC, HESICFastCodec
 
     hw = int(os.environ.get("BENCH_SIZE", "512"))
-    batch = int(os.environ.get("BENCH_BATCH", "8"))
-    n_batches = int(os.environ.get("BENCH_BATCHES", "4"))
+    batch = int(os.environ.get("BENCH_BATCH", "16"))
+    n_batches = int(os.environ.get("BENCH_BATCHES", "3"))
     calib_steps = int(os.environ.get("BENCH_CALIB_STEPS", "60"))
     rng = np.random.RandomState(0)
 
     mm = int(os.environ.get("BENCH_MM", "16"))
-    module = HESIC(N=128, M=192, K=5)
+    use_bf16 = os.environ.get("BENCH_BF16", "1") == "1"
+    module = HESIC(N=128, M=192, K=5,
+                   dtype=jnp.bfloat16 if use_bf16 else None)
     if calib_steps > 0:
         params = _calibrate(module, rng, calib_steps)
         codec = HESICFastCodec(module, params, mm=mm)
