@@ -148,35 +148,40 @@ class HyperEncoder(nn.Module):
 
 class GmmHyperY1(nn.Module):
     """Left-eye GMM hyper-decoder: three heads from z1_hat
-    (gmm_hyper_y1, reference newnet1.py:456-514)."""
+    (gmm_hyper_y1, reference newnet1.py:456-514).
+
+    Heads may compute in a reduced dtype; outputs are cast to f32 before
+    the likelihood/PMF math (which must stay f32)."""
 
     N: int = 128
     M: int = 192
     K: int = 5
+    dtype: object = None
 
     @nn.compact
     def __call__(self, z1_hat):
         mk = self.M * self.K
-        s = Deconv(self.N)(z1_hat)
+        d = self.dtype
+        s = Deconv(self.N, dtype=d)(z1_hat)
         s = nn.relu(s)
-        s = Deconv(self.N)(s)
+        s = Deconv(self.N, dtype=d)(s)
         s = nn.relu(s)
-        s = Conv(mk, stride=1)(s)
-        sigma = nn.relu(s)
+        s = Conv(mk, stride=1, dtype=d)(s)
+        sigma = nn.relu(s).astype(jnp.float32)
 
-        m = Deconv(self.N)(z1_hat)
+        m = Deconv(self.N, dtype=d)(z1_hat)
         m = nn.leaky_relu(m)
-        m = Deconv(self.N)(m)
+        m = Deconv(self.N, dtype=d)(m)
         m = nn.leaky_relu(m)
-        means = Conv(mk, stride=1)(m)
+        means = Conv(mk, stride=1, dtype=d)(m).astype(jnp.float32)
 
-        w = Deconv(self.N)(z1_hat)
+        w = Deconv(self.N, dtype=d)(z1_hat)
         w = nn.leaky_relu(w)
-        w = Deconv(mk)(w)
+        w = Deconv(mk, dtype=d)(w)
         w = spatial_max_pool(w)
         w = nn.leaky_relu(w)
-        w = Conv(mk, kernel_size=1, stride=1)(w)
-        weights = softmax_over_mixture(w, self.K)
+        w = Conv(mk, kernel_size=1, stride=1, dtype=d)(w)
+        weights = softmax_over_mixture(w.astype(jnp.float32), self.K)
         return sigma, means, weights
 
 
@@ -188,34 +193,36 @@ class GmmHyperY2(nn.Module):
     N: int = 128
     M: int = 192
     K: int = 5
+    dtype: object = None
 
     @nn.compact
     def __call__(self, z2_hat, y1_prior):
         b, h, w, c = z2_hat.shape
+        d = self.dtype
         up_z2 = jax.image.resize(z2_hat, (b, h * 4, w * 4, c), "bilinear")
         x = jnp.concatenate([up_z2, y1_prior], axis=-1)
         mk = self.M * self.K
 
-        s = Conv(self.N, stride=1)(x)
+        s = Conv(self.N, stride=1, dtype=d)(x)
         s = nn.relu(s)
-        s = Conv(self.N, stride=1)(s)
+        s = Conv(self.N, stride=1, dtype=d)(s)
         s = nn.relu(s)
-        s = Conv(mk, stride=1)(s)
-        sigma = nn.relu(s)
+        s = Conv(mk, stride=1, dtype=d)(s)
+        sigma = nn.relu(s).astype(jnp.float32)
 
-        m = Conv(self.N, stride=1)(x)
+        m = Conv(self.N, stride=1, dtype=d)(x)
         m = nn.leaky_relu(m)
-        m = Conv(self.N, stride=1)(m)
+        m = Conv(self.N, stride=1, dtype=d)(m)
         m = nn.leaky_relu(m)
-        means = Conv(mk, stride=1)(m)
+        means = Conv(mk, stride=1, dtype=d)(m).astype(jnp.float32)
 
-        w = Conv(self.N, stride=1)(x)
+        w = Conv(self.N, stride=1, dtype=d)(x)
         w = nn.leaky_relu(w)
-        w = Conv(mk, stride=1)(w)
+        w = Conv(mk, stride=1, dtype=d)(w)
         w = spatial_max_pool(w)
         w = nn.leaky_relu(w)
-        w = Conv(mk, kernel_size=1, stride=1)(w)
-        weights = softmax_over_mixture(w, self.K)
+        w = Conv(mk, kernel_size=1, stride=1, dtype=d)(w)
+        weights = softmax_over_mixture(w.astype(jnp.float32), self.K)
         return sigma, means, weights
 
 
@@ -239,8 +246,8 @@ class HESIC(nn.Module):
         self.decoder2 = StereoDecoder2(N=n, dtype=d)
         self.h_a1 = HyperEncoder(N=n, dtype=d)
         self.h_a2 = HyperEncoder(N=n, dtype=d)
-        self.h_s1 = GmmHyperY1(N=n, M=m, K=k)
-        self.h_s2 = GmmHyperY2(N=n, M=m, K=k)
+        self.h_s1 = GmmHyperY1(N=n, M=m, K=k, dtype=d)
+        self.h_s2 = GmmHyperY2(N=n, M=m, K=k, dtype=d)
         self.entropy_bottleneck1 = EntropyBottleneck(channels=n)
         self.entropy_bottleneck2 = EntropyBottleneck(channels=n)
         self.gaussian1 = GaussianMixtureConditional(K=k)
