@@ -4,6 +4,7 @@ from .entropy_models import (SCALES_LEVELS, SCALES_MAX, SCALES_MIN,
                              EntropyBottleneck, GaussianConditional,
                              GaussianMixtureConditional, build_indexes,
                              gaussian_pmf_data, get_scale_table, gmm_pmf,
+                             gmm_pmf_edges,
                              standardized_cumulative, standardized_quantile)
 
 __all__ = [
@@ -22,6 +23,7 @@ __all__ = [
     "gaussian_pmf_data",
     "get_scale_table",
     "gmm_pmf",
+    "gmm_pmf_edges",
     "standardized_cumulative",
     "standardized_quantile",
 ]

@@ -364,3 +364,31 @@ def gmm_pmf(samples, scales, means, weights, K: int,
     upper = standardized_cumulative((0.5 - values) / sc)
     lower = standardized_cumulative((-0.5 - values) / sc)
     return jnp.sum((upper - lower) * w, axis=-2)  # (..., M, S)
+
+
+def gmm_pmf_edges(samples, scales, means, weights, K: int,
+                  scale_bound: float = 0.11):
+    """Mixture PMF on a symbol grid via CDF edge differences.
+
+    Same result as :func:`gmm_pmf` up to f32 rounding, at HALF the erfc
+    count: consecutive bins share their CDF edge, so S+1 cumulative
+    evaluations replace 2*S (the erfc is the dominant transcendental in
+    the codec's device profile).  Used by the fast codec, where encoder
+    and decoder share one compiled program so the exact rounding is
+    consistent by construction.
+    """
+    m = scales.shape[-1] // K
+    s = jnp.asarray(samples, jnp.float32)
+    edges = jnp.concatenate([s - 0.5, s[-1:] + 0.5])  # (S+1,)
+
+    def slab(t):
+        return jnp.stack(
+            [t[..., k * m:(k + 1) * m] for k in range(K)], axis=-1
+        ).astype(jnp.float32)  # (..., M, K)
+
+    mu = slab(means)[..., None]          # (..., M, K, 1)
+    sc = lower_bound(slab(scales), scale_bound)[..., None]
+    w = slab(weights)[..., None]
+    cdf = standardized_cumulative((edges - mu) / sc)  # (..., M, K, S+1)
+    pmf = cdf[..., 1:] - cdf[..., :-1]
+    return jnp.sum(pmf * w, axis=-2)     # (..., M, S)

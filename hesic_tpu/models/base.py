@@ -83,8 +83,15 @@ class CompressionModel:
         return p
 
     def eb_medians(self, name: str) -> np.ndarray:
-        sub = self._eb_subparams(name)
-        return np.asarray(sub["quantiles"][:, 0, 1])
+        # cached: params live on device, so the naive slice+fetch costs a
+        # full host round-trip (~27 ms) per call
+        cache = getattr(self, "_median_cache", None)
+        if cache is None:
+            cache = self._median_cache = {}
+        if name not in cache:
+            sub = self._eb_subparams(name)
+            cache[name] = np.asarray(sub["quantiles"][:, 0, 1])
+        return cache[name]
 
     def update(self, scale_table=None, force: bool = False):
         """(Re)build integer CDF tables for all entropy models.
@@ -177,6 +184,7 @@ class CompressionModel:
             pickle.dump(self.state_dict(), f)
 
     def load_state_dict(self, state: dict):
+        self._median_cache = {}
         self.params = jax.tree_util.tree_map(jnp.asarray, state["params"])
         self.tables = {k: CdfTables.from_state_dict(v)
                        for k, v in state.get("tables", {}).items()}

@@ -43,7 +43,7 @@ from ..codecs.device_rans import (freq_to_cdf, intervals_from_freq,
                                   pack_stream, quantize_pmf_device,
                                   rans_decode_grid, rans_encode_grid,
                                   unpack_stream)
-from ..entropy_models import gmm_pmf
+from ..entropy_models import gmm_pmf_edges
 from ..geometry import warp_perspective
 from .hesic_codec import HESICCodec
 
@@ -65,7 +65,7 @@ def _gmm_freq_fast(sigma, means, weights, mm: int, k: int):
     each downstream reduction, multiplying the transcendental cost.
     """
     samples = jnp.arange(-mm, mm + 1, dtype=jnp.float32)
-    pmf = gmm_pmf(samples, sigma, means, weights, k)  # (B, h, w, M, S)
+    pmf = gmm_pmf_edges(samples, sigma, means, weights, k)
     freq = quantize_pmf_device(pmf)
     b, h, w, m, s = freq.shape
     freq = freq.transpose(0, 3, 1, 2, 4).reshape(b, m * h * w, s)
