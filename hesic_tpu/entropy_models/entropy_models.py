@@ -15,7 +15,7 @@ Differences by design (TPU-first):
 from __future__ import annotations
 
 import math
-from typing import Any, Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -8,11 +8,7 @@ host coder, once per tensor.
 
 from __future__ import annotations
 
-from typing import Sequence
-
-import jax
 import jax.numpy as jnp
-import numpy as np
 
 from ..entropy_models import build_indexes
 from .autoregressive import ar_compress, ar_decompress

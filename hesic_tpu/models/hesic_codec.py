@@ -22,7 +22,6 @@ Deviations from the reference (documented):
 from __future__ import annotations
 
 import os
-import struct
 import time
 from functools import partial
 

@@ -33,7 +33,6 @@ documented):
 from __future__ import annotations
 
 import time
-from functools import partial
 
 import jax
 import jax.numpy as jnp

@@ -7,17 +7,11 @@ codec classes in codec.py own integer CDF tables and run the real coder.
 
 from __future__ import annotations
 
-from typing import Any, Dict
-
-import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from ..entropy_models import (EntropyBottleneck, GaussianConditional,
-                              GaussianMixtureConditional)
-from ..layers import (GDN, AttentionBlock, Conv, Deconv, MaskedConv2d,
-                      ResidualBlock, ResidualBlockUpsample,
-                      ResidualBlockWithStride, SubpelConv3x3, conv3x3)
+from ..entropy_models import EntropyBottleneck, GaussianConditional
+from ..layers import GDN, Conv, Deconv, MaskedConv2d
 from ..ops import quantize
 
 

@@ -21,7 +21,6 @@ from __future__ import annotations
 
 import argparse
 import os
-import time
 
 import jax
 import jax.numpy as jnp
@@ -29,7 +28,7 @@ import numpy as np
 
 from ..datasets import StereoImageFolder, ImageFolder, batch_iterator
 from ..geometry import HomographyNet, upscale_homography
-from ..zoo import cfgs, create_model, is_stereo, model_architectures, \
+from ..zoo import create_model, is_stereo, model_architectures, \
     uses_homography
 from .losses import (mse2psnr, rate_distortion_loss,
                      stereo_rate_distortion_loss)

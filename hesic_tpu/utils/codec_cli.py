@@ -14,7 +14,6 @@ from __future__ import annotations
 
 import argparse
 import struct
-import sys
 
 import jax.numpy as jnp
 import numpy as np
