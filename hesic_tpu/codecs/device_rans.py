@@ -39,26 +39,34 @@ RANS_L = jnp.uint32(1 << 16)
 _TOTAL = 1 << PROB_BITS
 
 
-def quantize_pmf_device(pmf):
+def quantize_pmf_device(pmf, axis: int = -1):
     """Float PMF rows -> integer frequency rows summing to 2^16, bins >= 1.
 
-    pmf: (..., S) float32 (need not be normalized).  Fully vectorized.
+    pmf: float32 with the symbol axis at `axis` (need not be normalized).
+    Fully vectorized; keep a 128-multiple dimension minor for TPU lane
+    alignment and put the (usually short) symbol axis elsewhere.
     """
     pmf = jnp.asarray(pmf, jnp.float32)
+    axis = axis % pmf.ndim
     pmf = jnp.maximum(pmf, 0.0)
-    total = jnp.sum(pmf, axis=-1, keepdims=True)
+    total = jnp.sum(pmf, axis=axis, keepdims=True)
     ideal = pmf / jnp.maximum(total, 1e-30) * _TOTAL
     freq = jnp.clip(jnp.floor(ideal), 1, None).astype(jnp.int32)
-    deficit = _TOTAL - jnp.sum(freq, axis=-1, keepdims=True)
-    amax = jnp.argmax(freq, axis=-1, keepdims=True)
-    onehot = (jnp.arange(pmf.shape[-1]) == amax).astype(jnp.int32)
+    deficit = _TOTAL - jnp.sum(freq, axis=axis, keepdims=True)
+    amax = jnp.argmax(freq, axis=axis, keepdims=True)
+    iota = jax.lax.broadcasted_iota(jnp.int32, pmf.shape, axis)
+    onehot = (iota == amax).astype(jnp.int32)
     return freq + onehot * deficit
 
 
-def freq_to_cdf(freq):
-    """(..., S) freq rows -> (..., S+1) CDF rows (leading zero)."""
-    c = jnp.cumsum(freq, axis=-1)
-    return jnp.concatenate([jnp.zeros_like(c[..., :1]), c], axis=-1)
+def freq_to_cdf(freq, axis: int = -1):
+    """Freq rows -> CDF rows (leading zero) along `axis`."""
+    axis = axis % freq.ndim
+    c = jnp.cumsum(freq, axis=axis)
+    zshape = list(c.shape)
+    zshape[axis] = 1
+    return jnp.concatenate(
+        [jnp.zeros(zshape, c.dtype), c], axis=axis)
 
 
 def _pad_to_grid(n: int, lanes: int):

@@ -38,11 +38,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..codecs.device_rans import (freq_to_cdf, intervals_from_freq,
+from ..codecs.device_rans import (freq_to_cdf,
                                   pack_stream, quantize_pmf_device,
                                   rans_decode_grid, rans_encode_grid,
                                   unpack_stream)
-from ..entropy_models import gmm_pmf_edges
+
 from ..geometry import warp_perspective
 from .hesic_codec import HESICCodec
 
@@ -56,18 +56,40 @@ def _bucket_cap(c: int) -> int:
 
 
 def _gmm_freq_fast(sigma, means, weights, mm: int, k: int):
-    """(B, h, w, M*K) GMM params -> (B, M*h*w, S) quantized frequency
-    rows, channel-major per item.
+    """(B, h, w, M*K) GMM params -> (B, M, S, h*w) quantized frequency
+    rows in LANE LAYOUT: the spatial axis (h*w, a 128-multiple) stays
+    minor through the whole erfc -> quantize pipeline so every elementwise
+    op uses full VPU lanes (the S~33 axis is far too short for the lane
+    dimension — measured 4x slowdown when minor).
 
     The optimization barrier pins the erfc-heavy PMF to ONE materialized
     evaluation — without it XLA may re-fuse (recompute) the producer into
     each downstream reduction, multiplying the transcendental cost.
     """
-    samples = jnp.arange(-mm, mm + 1, dtype=jnp.float32)
-    pmf = gmm_pmf_edges(samples, sigma, means, weights, k)
-    freq = quantize_pmf_device(pmf)
-    b, h, w, m, s = freq.shape
-    freq = freq.transpose(0, 3, 1, 2, 4).reshape(b, m * h * w, s)
+    b, h, w, mk = sigma.shape
+    m = mk // k
+    hw = h * w
+
+    def lanes_layout(t):
+        # (B, h, w, M*K) with channel k*M+m -> (B, K, M, 1, hw)
+        t = t.reshape(b, hw, k, m).transpose(0, 2, 3, 1)
+        return t.reshape(b, k, m, 1, hw).astype(jnp.float32)
+
+    mu = lanes_layout(means)
+    sc = jnp.maximum(lanes_layout(sigma), 0.11)
+    if weights.shape[1] == 1 and weights.shape[2] == 1:
+        # spatially constant weights (HESIC's global max-pool head)
+        wgt = weights.reshape(b, k, m).astype(jnp.float32)
+        wgt = wgt.reshape(b, k, m, 1, 1)
+    else:
+        wgt = lanes_layout(weights)
+    edges = (jnp.arange(-mm, mm + 2, dtype=jnp.float32) - 0.5)
+    edges = edges.reshape(1, 1, 1, -1, 1)          # (1,1,1,S+1,1)
+    from ..entropy_models import standardized_cumulative
+    cdf = standardized_cumulative((edges - mu) / sc)  # (B,K,M,S+1,hw)
+    pmf = cdf[:, :, :, 1:] - cdf[:, :, :, :-1]        # (B,K,M,S,hw)
+    pmf = jnp.sum(pmf * wgt, axis=1)                  # (B,M,S,hw)
+    freq = quantize_pmf_device(pmf, axis=2)
     return jax.lax.optimization_barrier(freq)
 
 
@@ -82,61 +104,45 @@ def _unflatten_cm(flat, h, w, m):
     return flat.reshape(b, m, h, w).transpose(0, 2, 3, 1)
 
 
-def _encode_stream(freq, sym_flat, lanes: int):
-    """Batched interleave encode from frequency rows.
+def _encode_stream(freq, y_hat, mm: int):
+    """Batched interleave encode from lane-layout frequency rows.
 
-    The batch dimension MERGES into the lane axis (lane b*L + l), so all
-    B*L streams advance in ONE lockstep scan — the scan is step-overhead
-    bound, so width is nearly free.  Per-item streams stay independent
-    (same per-pair container format).  Returns (words u16 (B, L, cap),
-    counts (B, L), states (B, L)).
+    freq: (B, M, S, hw); y_hat: (B, h, w, M) integer latents.
+    Lane mapping: symbol (b, m, pos) -> scan slot m, merged lane b*hw+pos
+    (identical stream layout to the flat round-robin mapping when
+    lanes == hw).  All intervals come from masked reductions along the S
+    axis — hw stays minor everywhere.
     """
-    b, n = sym_flat.shape
-    starts, frs = intervals_from_freq(freq, sym_flat)
-    t_steps = -(-n // lanes)
-    pad = t_steps * lanes - n
-
-    def to_grid(a, fill):
-        a = jnp.concatenate(
-            [a, jnp.full((b, pad), fill, a.dtype)], axis=1)
-        # (B, T, L) -> (T, B*L) with merged lane index b*L + l
-        return a.reshape(b, t_steps, lanes).transpose(1, 0, 2).reshape(
-            t_steps, b * lanes)
-
-    s_grid = to_grid(starts.astype(jnp.uint32), 0)
-    f_grid = to_grid(frs.astype(jnp.uint32), 1)
-    valid = jnp.broadcast_to(
-        (jnp.arange(t_steps * lanes) < n).reshape(t_steps, lanes)[:, None],
-        (t_steps, b, lanes)).reshape(t_steps, b * lanes)
+    b, m, s, hw = freq.shape
+    sym = y_hat.transpose(0, 3, 1, 2).reshape(b, m, 1, hw) + mm
+    iota = jax.lax.broadcasted_iota(jnp.int32, freq.shape, 2)
+    start = jnp.sum(freq * (iota < sym), axis=2)     # (B, M, hw)
+    frs = jnp.sum(freq * (iota == sym), axis=2)
+    s_grid = start.transpose(1, 0, 2).reshape(m, b * hw).astype(jnp.uint32)
+    f_grid = frs.transpose(1, 0, 2).reshape(m, b * hw).astype(jnp.uint32)
+    valid = jnp.ones((m, b * hw), bool)
     words, counts, states = rans_encode_grid(s_grid, f_grid, valid)
     cap = words.shape[1]
-    return (words.reshape(b, lanes, cap).astype(jnp.uint16),
-            counts.reshape(b, lanes).astype(jnp.int32),
-            states.reshape(b, lanes))
+    return (words.reshape(b, hw, cap).astype(jnp.uint16),
+            counts.reshape(b, hw).astype(jnp.int32),
+            states.reshape(b, hw))
 
 
-def _decode_stream(freq, words, counts, states, n: int, lanes: int):
-    """Batched interleave decode; batch merged into the lane axis."""
-    rows = freq_to_cdf(freq)                       # (B, n, S+1)
-    b, _, s1 = rows.shape
-    t_steps = -(-n // lanes)
-    pad = t_steps * lanes - n
-    rows = jnp.concatenate(
-        [rows, jnp.tile(rows[:, :1], (1, pad, 1))], axis=1)
-    # (B, T, L, S+1) -> (T, S+1, B*L)
-    rows = rows.reshape(b, t_steps, lanes, s1).transpose(1, 3, 0, 2)
-    rows = rows.reshape(t_steps, s1, b * lanes)
-    valid = jnp.broadcast_to(
-        (jnp.arange(t_steps * lanes) < n).reshape(t_steps, lanes)[:, None],
-        (t_steps, b, lanes)).reshape(t_steps, b * lanes)
+def _decode_stream(freq, words, counts, states, mm: int, hy: int, wy: int):
+    """Batched interleave decode from lane-layout frequency rows.
+
+    Returns y_hat (B, hy, wy, M) int32.
+    """
+    b, m, s, hw = freq.shape
+    rows = freq_to_cdf(freq, axis=2)                 # (B, M, S+1, hw)
+    rows = rows.transpose(1, 2, 0, 3).reshape(m, s + 1, b * hw)
+    valid = jnp.ones((m, b * hw), bool)
     cap = words.shape[-1]
     syms = rans_decode_grid(
-        words.astype(jnp.int32).reshape(b * lanes, cap),
-        counts.reshape(b * lanes), states.reshape(b * lanes), rows, valid)
-    # (T, B*L) -> (B, n)
-    syms = syms.reshape(t_steps, b, lanes).transpose(1, 0, 2).reshape(
-        b, t_steps * lanes)
-    return syms[:, :n]
+        words.astype(jnp.int32).reshape(b * hw, cap),
+        counts.reshape(b * hw), states.reshape(b * hw), rows, valid)
+    syms = syms.reshape(m, b, hw).transpose(1, 0, 2)  # (B, M, hw)
+    return (syms - mm).reshape(b, m, hy, wy).transpose(0, 2, 3, 1)
 
 
 class HESICFastCodec(HESICCodec):
@@ -215,15 +221,13 @@ class HESICFastCodec(HESICCodec):
         elif name == "encode_stream":
             @jax.jit
             def fn(freq, y_hat):
-                sym = _flatten_cm(y_hat) + mm
-                return _encode_stream(freq, sym, lanes)
+                return _encode_stream(freq, y_hat, mm)
 
         elif name == "decode_stream":
             def _decode(freq, words, counts, states, y_shape):
                 hy, wy = y_shape
-                n = module.M * hy * wy
-                sym = _decode_stream(freq, words, counts, states, n, lanes)
-                return _unflatten_cm(sym - mm, hy, wy, module.M)
+                return _decode_stream(freq, words, counts, states, mm,
+                                      hy, wy)
 
             fn = jax.jit(_decode, static_argnums=(4,))
 
@@ -372,7 +376,7 @@ class HESICFastCodec(HESICCodec):
         # one sync for the counts (sets the word capacity), one sync for
         # everything else packed into a single int32 vector
         b = x1.shape[0]
-        lanes = self.lanes
+        lanes = s1[1].shape[1]  # == y_h * y_w (lane layout)
         counts_both = np.asarray(jnp.stack([s1[1], s2[1]]))
         c1, c2 = counts_both[0], counts_both[1]
         cap1 = min(_bucket_cap(int(c1.max())), s1[0].shape[2])
@@ -580,7 +584,7 @@ class HESICFastCodec(HESICCodec):
         h_matrix = jnp.asarray(np.stack(h_list))
 
         b = len(blobs)
-        lanes = self.lanes
+        lanes = c1.shape[1]
         z_shape4 = z1_np.shape
         specs = [
             ((b, lanes), "c"), ((b, lanes), "u"),
