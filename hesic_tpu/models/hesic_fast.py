@@ -51,8 +51,10 @@ LANES_DEFAULT = 1024  # interleaved rANS lanes
 
 
 def _bucket_cap(c: int) -> int:
-    """Round a word capacity up to a bucket (compile-count control)."""
-    return max(64, -(-c // 64) * 64)
+    """Round a word capacity up to a bucket (compile-count control vs
+    padded-transfer overhead: 16-word granularity keeps the padding
+    below ~20% at realistic payload sizes)."""
+    return max(16, -(-c // 16) * 16)
 
 
 def _gmm_freq_fast(sigma, means, weights, mm: int, k: int):
