@@ -416,3 +416,105 @@ class RangeDecoder:
         if rc != 0:
             raise ValueError(f"range decode failed (rc={rc})")
         return out
+
+
+# ---------------------------------------------------------------------------
+# Autoregressive (PixelCNN-context) coder
+# ---------------------------------------------------------------------------
+
+_lib.hesic_ar_code.restype = ctypes.c_int64
+_lib.hesic_ar_code.argtypes = [
+    ctypes.c_int, _c_f32p, _c_f32p, _c_u8p, ctypes.c_int64,
+    ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+    _c_f32p, _c_f32p, _c_f32p, _c_f32p, _c_f32p, _c_f32p,
+    _c_f32p, _c_f32p, ctypes.c_int, _c_f32p, _c_f32p, ctypes.c_int,
+    _c_f32p, _c_f32p, _c_f32p, ctypes.c_int,
+    _c_i32p, ctypes.c_int32, _c_i32p, _c_i32p, ctypes.c_int32]
+
+
+def _f32(a) -> np.ndarray:
+    return np.ascontiguousarray(a, dtype=np.float32)
+
+
+def _f32p_of(a: np.ndarray):
+    return a.ctypes.data_as(_c_f32p)
+
+
+class ArWeightsNative:
+    """Prepared contiguous weight arrays for the native AR coder."""
+
+    def __init__(self, ctx_kernel, ctx_bias, ep_kernels, ep_biases,
+                 scale_table):
+        ck = np.asarray(ctx_kernel, np.float32)  # (5, 5, M, 2M), masked
+        self.m = ck.shape[2]
+        self.k_up = _f32(ck[:2].reshape(2 * 5 * self.m, 2 * self.m))
+        self.k_left2 = _f32(ck[2, 0])
+        self.k_left1 = _f32(ck[2, 1])
+        self.ctx_bias = _f32(ctx_bias)
+        self.ep_w = [_f32(w) for w in ep_kernels]  # (in, out) each
+        self.ep_b = [_f32(b) for b in ep_biases]
+        self.thresholds = _f32(np.asarray(scale_table)[:-1])
+
+
+def ar_code(direction: int, weights: ArWeightsNative, pre, post, tables,
+            y=None, stream: bytes = None):
+    """Run the raster-causal coder (0=encode, 1=decode) in native code.
+
+    pre: (h, w, P) float; post: (h, w, Q) float or None.
+    encode: y (h, w, M) -> returns (stream bytes, y_hat);
+    decode: stream -> returns y_hat (h, w, M).
+    Both directions share one float implementation, so encoder-side and
+    decoder-side Gaussian parameters are bit-identical by construction.
+    """
+    pre = _f32(pre)
+    h, w, p_dim = pre.shape
+    m = weights.m
+    q_dim = 0
+    post_arr = np.zeros((0,), np.float32)
+    if post is not None:
+        post_arr = _f32(post)
+        q_dim = post_arr.shape[-1]
+    y_hat = np.empty((h, w, m), np.float32)
+    cdf = np.ascontiguousarray(tables.quantized_cdf, dtype=np.int32)
+    sizes = _i32(tables.cdf_length)
+    offs = _i32(tables.offset)
+
+    c1_mid = weights.ep_w[0].shape[1]
+    c2_mid = weights.ep_w[1].shape[1]
+
+    if direction == 0:
+        y_arr = _f32(y)
+        cap = h * w * m * 12 + 1024
+        out = np.empty(cap, np.uint8)
+        n = _lib.hesic_ar_code(
+            0, _f32p_of(y_arr), _f32p_of(y_hat), _u8p(out), cap,
+            h, w, m, p_dim, q_dim,
+            _f32p_of(pre),
+            _f32p_of(post_arr) if q_dim else None,
+            _f32p_of(weights.k_up), _f32p_of(weights.k_left2),
+            _f32p_of(weights.k_left1), _f32p_of(weights.ctx_bias),
+            _f32p_of(weights.ep_w[0]), _f32p_of(weights.ep_b[0]), c1_mid,
+            _f32p_of(weights.ep_w[1]), _f32p_of(weights.ep_b[1]), c2_mid,
+            _f32p_of(weights.ep_w[2]), _f32p_of(weights.ep_b[2]),
+            _f32p_of(weights.thresholds), weights.thresholds.size,
+            _i32p(cdf), cdf.shape[1], _i32p(sizes), _i32p(offs),
+            cdf.shape[0])
+        if n < 0:
+            raise ValueError(f"ar encode failed (rc={n})")
+        return out[:n].tobytes(), y_hat
+    data = np.frombuffer(stream, np.uint8)
+    rc = _lib.hesic_ar_code(
+        1, None, _f32p_of(y_hat), _u8p(data), data.size,
+        h, w, m, p_dim, q_dim,
+        _f32p_of(pre),
+        _f32p_of(post_arr) if q_dim else None,
+        _f32p_of(weights.k_up), _f32p_of(weights.k_left2),
+        _f32p_of(weights.k_left1), _f32p_of(weights.ctx_bias),
+        _f32p_of(weights.ep_w[0]), _f32p_of(weights.ep_b[0]), c1_mid,
+        _f32p_of(weights.ep_w[1]), _f32p_of(weights.ep_b[1]), c2_mid,
+        _f32p_of(weights.ep_w[2]), _f32p_of(weights.ep_b[2]),
+        _f32p_of(weights.thresholds), weights.thresholds.size,
+        _i32p(cdf), cdf.shape[1], _i32p(sizes), _i32p(offs), cdf.shape[0])
+    if rc != 0:
+        raise ValueError(f"ar decode failed (rc={rc})")
+    return y_hat

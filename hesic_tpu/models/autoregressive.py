@@ -123,40 +123,71 @@ def _empty_post(pre):
     return jnp.zeros((b, h, w_dim, 0), jnp.float32)
 
 
+def _native_weights(codec, ctx_name: str, ep_prefix: str):
+    from ..codecs.rans import ArWeightsNative
+    w = extract_ar_weights(codec.params, ctx_name, ep_prefix)
+    return ArWeightsNative(
+        np.asarray(w.ctx_kernel), np.asarray(w.ctx_bias),
+        [np.asarray(k) for k in w.ep_kernels],
+        [np.asarray(b) for b in w.ep_biases], codec.scale_table)
+
+
 def ar_compress(codec, y, pre, post=None,
                 ctx_name: str = "context_prediction",
                 ep_prefix: str = "entropy_parameters",
-                gc_name: str = "gaussian_conditional") -> list[bytes]:
-    """Autoregressive encode: device scan + one native rANS call per item.
+                gc_name: str = "gaussian_conditional"):
+    """Autoregressive encode in the native runtime.
 
-    Returns one string per batch item.  Also returns nothing else: the
-    decoder reproduces y_hat itself.
+    Encoder and decoder share ONE C++ float implementation: the recursion's
+    Gaussian parameters feed the coder, so computing them on different
+    backends (e.g. encode on TPU, decode on host) risks f32 drift that
+    corrupts the stream.  Returns (strings, y_hat (B, H, W, M)) — callers
+    that condition later stages on the decoded-left latent must use this
+    y_hat, not a device-side recomputation.
     """
-    w = extract_ar_weights(codec.params, ctx_name, ep_prefix)
-    pre = jnp.asarray(pre, jnp.float32)
-    post = _empty_post(pre) if post is None else jnp.asarray(post,
-                                                             jnp.float32)
-    table = jnp.asarray(codec.scale_table, jnp.float32)
-    symbols, indexes, _ = ar_encode_scan(w, jnp.asarray(y, jnp.float32),
-                                         pre, post, table)
-    symbols = np.asarray(symbols)
-    indexes = np.asarray(indexes)
+    from ..codecs.rans import ar_code
+    weights = _native_weights(codec, ctx_name, ep_prefix)
+    pre = np.asarray(pre, np.float32)
+    post_np = None if post is None else np.asarray(post, np.float32)
     tables = codec.tables[gc_name]
-    enc = codecs.RansEncoder()
-    return [
-        enc.encode_with_indexes(symbols[i].reshape(-1),
-                                indexes[i].reshape(-1),
-                                tables.quantized_cdf, tables.cdf_length,
-                                tables.offset)
-        for i in range(symbols.shape[0])
-    ]
+    y = np.asarray(y, np.float32)
+    strings, y_hats = [], []
+    for i in range(y.shape[0]):
+        s, y_hat = ar_code(0, weights, pre[i],
+                           None if post_np is None else post_np[i],
+                           tables, y=y[i])
+        strings.append(s)
+        y_hats.append(y_hat)
+    return strings, jnp.asarray(np.stack(y_hats))
 
 
-def ar_decompress(codec, y_strings: list[bytes], pre, post=None, m=None,
+def ar_decompress(codec, y_strings: list[bytes], pre, post=None,
                   ctx_name: str = "context_prediction",
                   ep_prefix: str = "entropy_parameters",
                   gc_name: str = "gaussian_conditional") -> jnp.ndarray:
-    """Autoregressive decode, row-pipelined on the host.
+    """Autoregressive decode in the native runtime (pairs with
+    ar_compress — identical float math)."""
+    from ..codecs.rans import ar_code
+    weights = _native_weights(codec, ctx_name, ep_prefix)
+    pre = np.asarray(pre, np.float32)
+    post_np = None if post is None else np.asarray(post, np.float32)
+    tables = codec.tables[gc_name]
+    outs = []
+    for i, s in enumerate(y_strings):
+        outs.append(ar_code(1, weights, pre[i],
+                            None if post_np is None else post_np[i],
+                            tables, stream=s))
+    return jnp.asarray(np.stack(outs))
+
+
+def ar_decompress_reference(codec, y_strings: list[bytes], pre, post=None,
+                            m=None,
+                            ctx_name: str = "context_prediction",
+                            ep_prefix: str = "entropy_parameters",
+                            gc_name: str = "gaussian_conditional"
+                            ) -> jnp.ndarray:
+    """Row-pipelined numpy decoder (kept as an independent cross-check of
+    the native implementation).
 
     pre: (B, H, W, P) hyper-synthesis output; post: optional (B, H, W, Q).
     Returns y_hat (B, H, W, M) float32.

@@ -105,7 +105,7 @@ class JointAutoregressiveCodec(CompressionModel):
         z_hat = self.eb_decompress("entropy_bottleneck", z_strings,
                                    z.shape[1:3])
         params = self.jit("hyper_synthesis")(z_hat)
-        y_strings = ar_compress(self, y, params)
+        y_strings, _ = ar_compress(self, y, params)
         return {"strings": [y_strings, z_strings],
                 "shape": tuple(z.shape[1:3])}
 

@@ -28,8 +28,7 @@ from ..entropy_models import EntropyBottleneck, GaussianConditional
 from ..geometry import warp_perspective
 from ..layers import Conv, Deconv, MaskedConv2d
 from ..ops import quantize
-from .autoregressive import (ar_compress, ar_decompress, ar_encode_scan,
-                             extract_ar_weights)
+from .autoregressive import ar_compress, ar_decompress
 from .base import CompressionModel
 from .hesic import (IndependentEnhancement, StereoDecoder, StereoDecoder2,
                     StereoEncoder, StereoEncoder2)
@@ -250,16 +249,11 @@ class HESICPlusCodec(CompressionModel):
         z1_hat = self.eb_decompress("entropy_bottleneck1", z1_strings,
                                     z1.shape[1:3])
         params1 = self.jit("hyper_synthesis1")(z1_hat)
-        y1_strings = ar_compress(
+        # the native encoder returns the decoder-exact y1_hat (same C++
+        # float math both directions)
+        y1_strings, y1_hat = ar_compress(
             self, y1, params1, ctx_name="context_prediction1",
             ep_prefix="entropy_parameters1", gc_name="gaussian_conditional1")
-        # reproduce the decoder's y1_hat exactly (scan output)
-        w1 = extract_ar_weights(self.params, "context_prediction1",
-                                "entropy_parameters1")
-        _, _, y1_hat = ar_encode_scan(
-            w1, y1, params1,
-            jnp.zeros(params1.shape[:3] + (0,), jnp.float32),
-            jnp.asarray(self.scale_table, jnp.float32))
         x1_hat = self.jit("synthesis1")(y1_hat)
 
         # right eye
@@ -271,7 +265,7 @@ class HESICPlusCodec(CompressionModel):
                                     z2.shape[1:3])
         params2 = self.jit("hyper_synthesis2")(z2_hat)
         y1_prior = self.jit("left_prior")(x1_hat, h_matrix)
-        y2_strings = ar_compress(
+        y2_strings, _ = ar_compress(
             self, y2, params2, post=y1_prior,
             ctx_name="context_prediction2",
             ep_prefix="entropy_parameters2", gc_name="gaussian_conditional2")

@@ -156,3 +156,28 @@ class TestCodecRoundtrips:
         codec2 = FactorizedPriorCodec.load(FactorizedPrior(N=16, M=24), path)
         out2 = codec2.compress(x)
         assert out["strings"][0][0] == out2["strings"][0][0]
+
+
+class TestNativeArCoder:
+    def test_native_matches_reference_decoder(self):
+        """Native C++ AR decode must match the independent numpy decoder."""
+        from hesic_tpu.models.autoregressive import (ar_compress,
+                                                     ar_decompress,
+                                                     ar_decompress_reference)
+        module = JointAutoregressiveHierarchicalPriors(N=16, M=24)
+        codec = JointAutoregressiveCodec.init(module, [(1, 64, 64, 3)])
+        codec.update()
+        x = _img(seed=11)
+        y = codec.jit("analysis")(x)
+        z = codec.jit("hyper_analysis")(y)
+        z_strings = codec.eb_compress("entropy_bottleneck", z)
+        z_hat = codec.eb_decompress("entropy_bottleneck", z_strings,
+                                    z.shape[1:3])
+        params = codec.jit("hyper_synthesis")(z_hat)
+        strings, y_hat_enc = ar_compress(codec, y, params)
+        y_hat_native = ar_decompress(codec, strings, params)
+        y_hat_ref = ar_decompress_reference(codec, strings, params)
+        np.testing.assert_array_equal(np.asarray(y_hat_native),
+                                      np.asarray(y_hat_enc))
+        np.testing.assert_allclose(np.asarray(y_hat_ref),
+                                   np.asarray(y_hat_native), atol=1e-4)
