@@ -120,12 +120,21 @@ def main():
     rec = codec.decompress_fast_batch(out["blob"])
     jax.block_until_ready(rec["x2_hat"])
 
+    # software pipeline: encode batch i+1 on a worker thread while the
+    # main thread parses/queues the decode of batch i, so the device never
+    # waits on host-side container work
+    from concurrent.futures import ThreadPoolExecutor
+    ex = ThreadPoolExecutor(1)
     start = time.time()
-    for _ in range(n_batches):
-        out = codec.compress_fast(x1, x2, h, batch_container=True)
+    fut = ex.submit(codec.compress_fast, x1, x2, h, True)
+    for i in range(n_batches):
+        out = fut.result()
+        if i + 1 < n_batches:
+            fut = ex.submit(codec.compress_fast, x1, x2, h, True)
         rec = codec.decompress_fast_batch(out["blob"])
     jax.block_until_ready(rec["x2_hat"])
     elapsed = time.time() - start
+    ex.shutdown()
     pairs_per_sec = n_batches * batch / elapsed
 
     print(json.dumps({
