@@ -93,7 +93,7 @@ def main():
 
     hw = int(os.environ.get("BENCH_SIZE", "512"))
     batch = int(os.environ.get("BENCH_BATCH", "16"))
-    n_batches = int(os.environ.get("BENCH_BATCHES", "3"))
+    n_batches = int(os.environ.get("BENCH_BATCHES", "6"))
     calib_steps = int(os.environ.get("BENCH_CALIB_STEPS", "60"))
     rng = np.random.RandomState(0)
 
