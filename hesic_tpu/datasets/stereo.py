@@ -96,12 +96,14 @@ class StereoImageFolder:
         img2 = _load_image(rpath)
 
         h, w, _ = img1.shape
-        ph, pw = self.patch_size
-        if ph == h:
-            sh = sw = 0
-        else:
-            sh = self.rng.randint(0, h - ph)
-            sw = self.rng.randint(0, w - pw)
+        # clamp per axis: patch >= image keeps the full extent on that axis
+        # (the reference only handled the ph == h case,
+        # datasets/utils.py:140-146; randint(0, 0) crashed on pw == w and
+        # any patch larger than the image)
+        ph = min(self.patch_size[0], h)
+        pw = min(self.patch_size[1], w)
+        sh = 0 if ph >= h else self.rng.randint(0, h - ph)
+        sw = 0 if pw >= w else self.rng.randint(0, w - pw)
         img1 = img1[sh: sh + ph, sw: sw + pw]
         img2 = img2[sh: sh + ph, sw: sw + pw]
 

@@ -1,20 +1,22 @@
-from .base import CompressionModel
+from .base import CompressionModel, TogetherCodec
 from .codec import (FactorizedPriorCodec, JointAutoregressiveCodec,
                     MeanScaleHyperpriorCodec, ScaleHyperpriorCodec)
 from .hesic import (HESIC, Enhancement, EnhancementBlock, HESICTogether,
                     IndependentEnhancement)
-from .hesic_codec import HESICCodec
+from .hesic_codec import HESICCodec, HESICTogetherCodec
 from .hesic_fast import HESICFastCodec
-from .hesic_plus import HESICPlus, HESICPlusCodec, HESICPlusTogether
+from .hesic_plus import (HESICPlus, HESICPlusCodec,
+                         HESICPlusTogether, HESICPlusTogetherCodec)
 from .dsic import (DSIC, DSICPlus, IndependentEnhancementNoWarp, CostVolume,
                    GlobalContext, dense_warp)
-from .dsic_codec import DSICCodec
+from .dsic_codec import DSICCodec, DSICPlusCodec
 from .priors import (FactorizedPrior, JointAutoregressiveHierarchicalPriors,
                      MeanScaleHyperprior, ScaleHyperprior)
 from .waseda import Cheng2020Anchor, Cheng2020Attention
 
 __all__ = [
     "CompressionModel",
+    "TogetherCodec",
     "FactorizedPriorCodec",
     "JointAutoregressiveCodec",
     "MeanScaleHyperpriorCodec",
@@ -29,12 +31,15 @@ __all__ = [
     "HESICCodec",
     "HESICFastCodec",
     "HESICTogether",
+    "HESICTogetherCodec",
     "HESICPlus",
     "HESICPlusCodec",
     "HESICPlusTogether",
+    "HESICPlusTogetherCodec",
     "DSIC",
     "DSICCodec",
     "DSICPlus",
+    "DSICPlusCodec",
     "IndependentEnhancementNoWarp",
     "CostVolume",
     "GlobalContext",

@@ -165,7 +165,7 @@ class CompressionModel:
 
     def config(self) -> dict:
         cfg = {}
-        for field in ("N", "M", "K"):
+        for field in ("N", "M", "K", "F", "C"):
             if hasattr(self.module, field):
                 cfg[field] = getattr(self.module, field)
         return cfg
@@ -198,3 +198,64 @@ class CompressionModel:
         with open(path, "rb") as f:
             state = pickle.load(f)
         return cls(module, state["params"]).load_state_dict(state)
+
+
+class TogetherCodec(CompressionModel):
+    """Codec for the m1+m2 "Together" wrappers (HESIC/HESIC+/DSIC + stage-2
+    enhancement; reference newnet1.py:1304-1321, newnet1_joint.py:1351,
+    mynet6_plus.py:1352-1370).
+
+    The inner m1 sub-model does all the real coding — compress delegates to
+    an inner codec built over the ``m1`` params subtree — and the ``m2``
+    enhancement is applied to both reconstructions after decompress, exactly
+    as the reference wrappers run enhancement outside the codec flow.
+    """
+
+    inner_codec_cls: type = None  # CompressionModel subclass coding m1
+    enhance_with_h: bool = True   # m2 signature: (x1, x2, h) vs (x1, x2)
+    _inner = None
+
+    def _make_inner_module(self):
+        raise NotImplementedError
+
+    @property
+    def inner(self) -> CompressionModel:
+        if self._inner is None:
+            inner = self.inner_codec_cls(self._make_inner_module(),
+                                         self.params["m1"])
+            inner.tables = {k[len("m1/"):]: v for k, v in self.tables.items()
+                            if k.startswith("m1/")}
+            inner.scale_table = self.scale_table
+            self._inner = inner
+        return self._inner
+
+    def update(self, scale_table=None, force: bool = False):
+        self.inner.update(scale_table=scale_table, force=force)
+        self.tables = {f"m1/{k}": v for k, v in self.inner.tables.items()}
+        self.scale_table = self.inner.scale_table
+        return self
+
+    def load_state_dict(self, state: dict):
+        super().load_state_dict(state)
+        self._inner = None
+        return self
+
+    def compress(self, *args, **kwargs):
+        return self.inner.compress(*args, **kwargs)
+
+    def _enhance(self, out: dict) -> dict:
+        """Apply the m2 enhancement to a decompress result, keeping the
+        pre-enhancement reconstructions under *_base."""
+        if self.enhance_with_h:
+            enh = self.jit("enhance")(out["x1_hat"], out["x2_hat"],
+                                      out["h_matrix"])
+        else:
+            enh = self.jit("enhance")(out["x1_hat"], out["x2_hat"])
+        return dict(out, x1_hat=enh["x1_hat"], x2_hat=enh["x2_hat"],
+                    x1_hat_base=out["x1_hat"], x2_hat_base=out["x2_hat"])
+
+    def decompress(self, *args, **kwargs):
+        return self._enhance(self.inner.decompress(*args, **kwargs))
+
+    def decompress_bytes(self, *args, **kwargs):
+        return self._enhance(self.inner.decompress_bytes(*args, **kwargs))

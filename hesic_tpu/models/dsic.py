@@ -342,6 +342,11 @@ class DSICPlus(nn.Module):
     def aux_loss(self):
         return self.m1.aux_loss()
 
+    def enhance(self, x1_hat, x2_hat):
+        """Stage-2 enhancement sub-program (codec applies it post-decode,
+        mynet6_plus.py:1365-1368)."""
+        return self.m2(x1_hat, x2_hat)
+
     def __call__(self, x1, x2, training: bool = False):
         out1 = self.m1(x1, x2, training=training)
         out2 = self.m2(out1["x1_hat"], out1["x2_hat"])

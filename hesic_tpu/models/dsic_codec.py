@@ -15,7 +15,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .. import codecs
-from .base import CompressionModel
+from .base import CompressionModel, TogetherCodec
 from .hesic_codec import _bucket_minmax, _gmm_cdf_rows
 
 
@@ -166,3 +166,17 @@ class DSICCodec(CompressionModel):
             "y2_hat": y2_hat,
             "dectime": time.time() - start,
         }
+
+
+class DSICPlusCodec(TogetherCodec):
+    """Real-coder flows for DSICPlus: DSIC codes the pair, the no-warp
+    stage-2 enhancement runs after decode
+    (DSIC_plus, reference mynet6_plus.py:1352-1370)."""
+
+    inner_codec_cls = DSICCodec
+    enhance_with_h = False
+
+    def _make_inner_module(self):
+        from .dsic import DSIC
+        m = self.module
+        return DSIC(N=m.N, M=m.M, F=m.F, C=m.C, K=m.K)

@@ -396,6 +396,11 @@ class HESICTogether(nn.Module):
     def aux_loss(self):
         return self.m1.aux_loss()
 
+    def enhance(self, x1_hat, x2_hat, h_matrix):
+        """Stage-2 enhancement sub-program (codec applies it post-decode,
+        reference newnet1.py:1316-1319)."""
+        return self.m2(x1_hat, x2_hat, h_matrix)
+
     def __call__(self, x1, x2, h_matrix, training: bool = False):
         out1 = self.m1(x1, x2, h_matrix, training=training)
         out2 = self.m2(out1["x1_hat"], out1["x2_hat"], h_matrix)

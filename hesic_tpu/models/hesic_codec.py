@@ -32,7 +32,7 @@ import numpy as np
 from .. import codecs
 from ..entropy_models import gmm_pmf
 from ..geometry import warp_perspective
-from .base import CompressionModel
+from .base import CompressionModel, TogetherCodec
 
 _RC_TOTAL_BITS = 16
 
@@ -251,5 +251,20 @@ class HESICCodec(CompressionModel):
             "y2_hat": y2_hat,
             "z1_hat": z1_hat,
             "z2_hat": z2_hat,
+            "h_matrix": h_matrix,
             "dectime": dec_time,
         }
+
+
+class HESICTogetherCodec(TogetherCodec):
+    """Real-coder flows for HESICTogether: HESIC codes the pair, the
+    stage-2 IndependentEnhancement runs after decode
+    (GMM_together, reference newnet1.py:1304-1321)."""
+
+    inner_codec_cls = HESICCodec
+    enhance_with_h = True
+
+    def _make_inner_module(self):
+        from .hesic import HESIC
+        m = self.module
+        return HESIC(N=m.N, M=m.M, K=m.K)

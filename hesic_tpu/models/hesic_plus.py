@@ -29,7 +29,7 @@ from ..geometry import warp_perspective
 from ..layers import Conv, Deconv, MaskedConv2d
 from ..ops import quantize
 from .autoregressive import ar_compress, ar_decompress
-from .base import CompressionModel
+from .base import CompressionModel, TogetherCodec
 from .hesic import (IndependentEnhancement, StereoDecoder, StereoDecoder2,
                     StereoEncoder, StereoEncoder2)
 
@@ -216,6 +216,10 @@ class HESICPlusTogether(nn.Module):
     def aux_loss(self):
         return self.m1.aux_loss()
 
+    def enhance(self, x1_hat, x2_hat, h_matrix):
+        """Stage-2 enhancement sub-program (codec applies it post-decode)."""
+        return self.m2(x1_hat, x2_hat, h_matrix)
+
     def __call__(self, x1, x2, h_matrix, training: bool = False):
         out1 = self.m1(x1, x2, h_matrix, training=training)
         out2 = self.m2(out1["x1_hat"], out1["x2_hat"], h_matrix)
@@ -347,5 +351,19 @@ class HESICPlusCodec(CompressionModel):
             "x2_hat": x2_hat,
             "y1_hat": y1_hat,
             "y2_hat": y2_hat,
+            "h_matrix": h_matrix,
             "dectime": time.time() - start,
         }
+
+
+class HESICPlusTogetherCodec(TogetherCodec):
+    """Real-coder flows for HESICPlusTogether: HESIC+ codes the pair, the
+    stage-2 IndependentEnhancement runs after decode
+    (GMM_together, reference newnet1_joint.py:1351)."""
+
+    inner_codec_cls = HESICPlusCodec
+    enhance_with_h = True
+
+    def _make_inner_module(self):
+        m = self.module
+        return HESICPlus(N=m.N, M=m.M)

@@ -12,10 +12,11 @@ from __future__ import annotations
 from typing import Optional
 
 from ..models import (DSIC, HESIC, Cheng2020Anchor, Cheng2020Attention,
-                      DSICCodec, DSICPlus, FactorizedPrior,
+                      DSICCodec, DSICPlus, DSICPlusCodec, FactorizedPrior,
                       FactorizedPriorCodec, HESICCodec, HESICFastCodec,
                       HESICPlus, HESICPlusCodec, HESICPlusTogether,
-                      HESICTogether,
+                      HESICPlusTogetherCodec, HESICTogether,
+                      HESICTogetherCodec,
                       JointAutoregressiveCodec,
                       JointAutoregressiveHierarchicalPriors,
                       MeanScaleHyperprior, MeanScaleHyperpriorCodec,
@@ -30,11 +31,11 @@ model_architectures = {
     "cheng2020-anchor": (Cheng2020Anchor, JointAutoregressiveCodec),
     "cheng2020-attn": (Cheng2020Attention, JointAutoregressiveCodec),
     "hesic": (HESIC, HESICFastCodec),
-    "hesic-together": (HESICTogether, HESICCodec),
+    "hesic-together": (HESICTogether, HESICTogetherCodec),
     "hesic-plus": (HESICPlus, HESICPlusCodec),
-    "hesic-plus-together": (HESICPlusTogether, HESICPlusCodec),
+    "hesic-plus-together": (HESICPlusTogether, HESICPlusTogetherCodec),
     "dsic": (DSIC, DSICCodec),
-    "dsic-plus": (DSICPlus, DSICCodec),
+    "dsic-plus": (DSICPlus, DSICPlusCodec),
 }
 
 # quality -> constructor kwargs (reference zoo/image.py:105-155)
