@@ -22,9 +22,14 @@ before it is compute-bound.
 
 Format deviations vs the reference container (all self-consistent,
 documented):
-  * y symbols are clamped to [-MM, MM] with a fixed MM (module config)
-    instead of a per-image data-derived minmax — static shapes mean one
-    XLA compilation; trained latents never reach the clamp.
+  * y symbols are coded on a fixed [-MM, MM] grid (static shapes mean one
+    XLA compilation) instead of a per-image data-derived minmax.  Latents
+    beyond the grid are NOT lost: the encoder detects them (one scalar per
+    eye in the existing stats sync), stores exact (index, value)
+    corrections in a sparse container section, and the decoder restores
+    the true integers before the cross-eye conditioning — so the roundtrip
+    is bit-exact for arbitrary latents, matching the reference's
+    data-derived minmax behavior (newnet1.py:873-906) at O(outliers) cost.
   * y streams use the interleaved-lane rANS with power-of-two totals
     (codecs/device_rans.py) instead of the arbitrary-total range coder.
   * z streams stay on the host rANS coder (tiny payloads, escape coding).
@@ -116,7 +121,8 @@ def _encode_stream(freq, y_hat, mm: int):
     axis — hw stays minor everywhere.
     """
     b, m, s, hw = freq.shape
-    sym = y_hat.transpose(0, 3, 1, 2).reshape(b, m, 1, hw) + mm
+    sym = jnp.clip(y_hat, -mm, mm)
+    sym = sym.transpose(0, 3, 1, 2).reshape(b, m, 1, hw) + mm
     iota = jax.lax.broadcasted_iota(jnp.int32, freq.shape, 2)
     start = jnp.sum(freq * (iota < sym), axis=2)     # (B, M, hw)
     frs = jnp.sum(freq * (iota == sym), axis=2)
@@ -178,7 +184,12 @@ class HESICFastCodec(HESICCodec):
             return module.apply({"params": params}, *args, method=method)
 
         if name == "transforms_enc":
-            # images -> latents + integer symbols (encoder side only)
+            # images -> latents + integer symbols (encoder side only).
+            # y latents are the TRUE rounded integers (unclamped); the
+            # coder clips to the grid and out-of-grid values travel as
+            # sparse corrections (see module docstring).  over1/over2
+            # count per-pair outliers so the host can detect them inside
+            # the stats sync it already pays for.
             @jax.jit
             def fn(params, x1, x2, h):
                 size = (x1.shape[1], x1.shape[2])
@@ -186,14 +197,17 @@ class HESICFastCodec(HESICCodec):
                 z1 = apply(params, "hyper_analysis1", y1)
                 med1 = params["entropy_bottleneck1"]["quantiles"][:, 0, 1]
                 z1_sym = jnp.round(z1 - med1).astype(jnp.int32)
-                y1_hat = jnp.clip(jnp.round(y1), -mm, mm).astype(jnp.int32)
+                y1_hat = jnp.round(y1).astype(jnp.int32)
                 x1_warp = warp_perspective(x1, h, size)
                 y2 = apply(params, "analysis2", x1_warp, x2)
                 z2 = apply(params, "hyper_analysis2", y2)
                 med2 = params["entropy_bottleneck2"]["quantiles"][:, 0, 1]
                 z2_sym = jnp.round(z2 - med2).astype(jnp.int32)
-                y2_hat = jnp.clip(jnp.round(y2), -mm, mm).astype(jnp.int32)
-                return y1_hat, y2_hat, z1_sym, z2_sym
+                y2_hat = jnp.round(y2).astype(jnp.int32)
+                over1 = jnp.sum(jnp.abs(y1_hat) > mm, axis=(1, 2, 3))
+                over2 = jnp.sum(jnp.abs(y2_hat) > mm, axis=(1, 2, 3))
+                return (y1_hat, y2_hat, z1_sym, z2_sym,
+                        over1.astype(jnp.int32), over2.astype(jnp.int32))
 
         elif name == "cond1":
             # SHARED: z1 symbols -> left-eye frequency rows
@@ -232,6 +246,13 @@ class HESICFastCodec(HESICCodec):
                                       hy, wy)
 
             fn = jax.jit(_decode, static_argnums=(4,))
+
+        elif name == "apply_corr":
+            # decoded clamped latents + dense correction map -> true ints
+            # (compiled only when a stream actually contains outliers)
+            @jax.jit
+            def fn(y_hat, corr):
+                return y_hat + corr
 
         elif name == "buf_to_u16":
             @jax.jit
@@ -355,6 +376,68 @@ class HESICFastCodec(HESICCodec):
             self._fns[key] = fn
         return fn
 
+    # ---- outlier (escape) side-channel ----
+
+    def _collect_outliers(self, y_true_dev, over_counts: np.ndarray):
+        """Per-pair sparse (flat_index, true_value) arrays for latents
+        beyond the coder grid.  Zero-cost when over_counts is all zero
+        (the trained-model common case); otherwise one exceptional d2h
+        fetch of the latent tensor."""
+        b = int(over_counts.shape[0])
+        if int(over_counts.sum()) == 0:
+            empty = (np.zeros(0, np.uint32), np.zeros(0, np.int32))
+            return [empty] * b
+        y_np = np.asarray(y_true_dev)
+        outs = []
+        for i in range(b):
+            flat = y_np[i].reshape(-1)
+            idx = np.flatnonzero(np.abs(flat) > self.mm)
+            outs.append((idx.astype(np.uint32),
+                         flat[idx].astype(np.int32)))
+        return outs
+
+    @staticmethod
+    def _pack_outliers(o1, o2) -> bytes:
+        out = bytearray()
+        for idx, val in (o1, o2):
+            out += np.array([idx.size], np.uint32).tobytes()
+            out += idx.astype(np.uint32).tobytes()
+            out += val.astype(np.int32).tobytes()
+        return bytes(out)
+
+    @staticmethod
+    def _parse_outliers(blob: bytes, off: int):
+        eyes = []
+        for _ in range(2):
+            (n,) = np.frombuffer(blob, np.uint32, 1, off)
+            off += 4
+            idx = np.frombuffer(blob, np.uint32, int(n), off)
+            off += 4 * int(n)
+            val = np.frombuffer(blob, np.int32, int(n), off)
+            off += 4 * int(n)
+            eyes.append((idx, val))
+        return eyes[0], eyes[1], off
+
+    def _corr_map(self, outliers, y_shape):
+        """Dense int32 correction map (true - clamped) or None if no pair
+        has outliers."""
+        if all(idx.size == 0 for idx, _ in outliers):
+            return None
+        b = len(outliers)
+        hy, wy = y_shape
+        m = self.module.M
+        corr = np.zeros((b, hy * wy * m), np.int32)
+        for i, (idx, val) in enumerate(outliers):
+            if idx.size:
+                corr[i, idx] = val - np.clip(val, -self.mm, self.mm)
+        return jnp.asarray(corr.reshape(b, hy, wy, m))
+
+    def _decode_y(self, freq, words, counts, states, y_shape, corr):
+        y = self._fn("decode_stream")(freq, words, counts, states, y_shape)
+        if corr is not None:
+            y = self._fn("apply_corr")(y, corr)
+        return y
+
     # ---- container ----
 
     def compress_fast(self, x1, x2, h_matrix, batch_container: bool = False):
@@ -368,19 +451,23 @@ class HESICFastCodec(HESICCodec):
         if h_matrix.shape[0] != x1.shape[0]:
             h_matrix = jnp.broadcast_to(h_matrix, (x1.shape[0], 3, 3))
 
-        y1_hat, y2_hat, z1_sym, z2_sym = self._fn("transforms_enc")(
-            self.params, x1, x2, h_matrix)
+        (y1_hat, y2_hat, z1_sym, z2_sym, over1,
+         over2) = self._fn("transforms_enc")(self.params, x1, x2, h_matrix)
         freq1 = self._cond1(z1_sym)
         s1 = self._fn("encode_stream")(freq1, y1_hat)
         freq2, _ = self._cond2(y1_hat, z2_sym, h_matrix)
         s2 = self._fn("encode_stream")(freq2, y2_hat)
 
-        # one sync for the counts (sets the word capacity), one sync for
-        # everything else packed into a single int32 vector
+        # one sync for the counts (sets the word capacity) + outlier
+        # totals, one sync for everything else packed into a single
+        # int32 vector
         b = x1.shape[0]
         lanes = s1[1].shape[1]  # == y_h * y_w (lane layout)
-        counts_both = np.asarray(jnp.stack([s1[1], s2[1]]))
+        counts_both, over_np = jax.device_get(
+            (jnp.stack([s1[1], s2[1]]), jnp.stack([over1, over2])))
         c1, c2 = counts_both[0], counts_both[1]
+        outliers1 = self._collect_outliers(y1_hat, over_np[0])
+        outliers2 = self._collect_outliers(y2_hat, over_np[1])
         cap1 = min(_bucket_cap(int(c1.max())), s1[0].shape[2])
         cap2 = min(_bucket_cap(int(c2.max())), s2[0].shape[2])
         packed = np.asarray(self._fn("pack_outputs")(
@@ -430,6 +517,8 @@ class HESICFastCodec(HESICCodec):
             for z1_str, z2_str in z_strs:
                 for s in (z1_str, z2_str):
                     header += np.array([len(s)], np.uint32).tobytes() + s
+            for i in range(b):
+                header += self._pack_outliers(outliers1[i], outliers2[i])
             header += h_np.reshape(-1).astype(np.float32).tobytes()
             blob = bytes(header) + body.tobytes()
             return {
@@ -447,6 +536,7 @@ class HESICFastCodec(HESICCodec):
                                np.uint16).tobytes()
             for s in (z1_str, z2_str):
                 header += np.array([len(s)], np.uint32).tobytes() + s
+            header += self._pack_outliers(outliers1[i], outliers2[i])
             header += h_np[i].reshape(-1).astype(np.float32).tobytes()
             body = pack_stream(w1[i], c1[i], st1[i]) \
                 + pack_stream(w2[i], c2[i], st2[i])
@@ -480,6 +570,13 @@ class HESICFastCodec(HESICCodec):
                     "entropy_bottleneck2", blob[off:off + int(length)],
                     z_shape)[0])
                 off += int(length)
+        out1_list, out2_list = [], []
+        for _ in range(b):
+            o1, o2, off = self._parse_outliers(blob, off)
+            out1_list.append(o1)
+            out2_list.append(o2)
+        corr1 = self._corr_map(out1_list, y_shape)
+        corr2 = self._corr_map(out2_list, y_shape)
         h_matrix = jnp.asarray(
             np.frombuffer(blob, np.float32, 9 * b, off).reshape(b, 3, 3))
         off += 36 * b
@@ -504,14 +601,16 @@ class HESICFastCodec(HESICCodec):
         unpack = self._unpack_fn(tuple((tuple(s), k) for s, k in specs))
         (c1d, st1d, w1d, c2d, st2d, w2d, z1_sym, z2_sym) = unpack(buf_dev)
         return self._finish_decode(c1d, st1d, w1d, c2d, st2d, w2d, z1_sym,
-                                   z2_sym, h_matrix, y_shape, start)
+                                   z2_sym, h_matrix, y_shape, start,
+                                   corr1, corr2)
 
     def _finish_decode(self, c1d, st1d, w1d, c2d, st2d, w2d, z1_sym,
-                       z2_sym, h_matrix, y_shape, start):
+                       z2_sym, h_matrix, y_shape, start,
+                       corr1=None, corr2=None):
         freq1 = self._cond1(z1_sym)
-        y1_hat = self._fn("decode_stream")(freq1, w1d, c1d, st1d, y_shape)
+        y1_hat = self._decode_y(freq1, w1d, c1d, st1d, y_shape, corr1)
         freq2, x1_hat = self._cond2(y1_hat, z2_sym, h_matrix)
-        y2_hat = self._fn("decode_stream")(freq2, w2d, c2d, st2d, y_shape)
+        y2_hat = self._decode_y(freq2, w2d, c2d, st2d, y_shape, corr2)
         x2_hat = self._fn("synthesis2")(self.params, y2_hat, x1_hat,
                                         h_matrix)
         return {
@@ -529,6 +628,7 @@ class HESICFastCodec(HESICCodec):
             blobs = [bytes(blobs)]
         z1_list, z2_list, h_list = [], [], []
         s1_parts, s2_parts = [], []
+        out1_list, out2_list = [], []
         y_shape = None
         for blob in blobs:
             off = 0
@@ -540,6 +640,9 @@ class HESICFastCodec(HESICCodec):
                 off += 4
                 z_strs.append(blob[off:off + int(length)])
                 off += int(length)
+            o1, o2, off = self._parse_outliers(blob, off)
+            out1_list.append(o1)
+            out2_list.append(o2)
             h_list.append(
                 np.frombuffer(blob, np.float32, 9, off).reshape(3, 3))
             off += 36
@@ -554,6 +657,8 @@ class HESICFastCodec(HESICCodec):
             w2, c2, st2, off = unpack_stream(blob, off)
             s1_parts.append((w1, c1, st1))
             s2_parts.append((w2, c2, st2))
+        corr1 = self._corr_map(out1_list, y_shape)
+        corr2 = self._corr_map(out2_list, y_shape)
 
         def stack_streams(parts):
             cap = _bucket_cap(max(p[0].shape[1] for p in parts))
@@ -599,7 +704,8 @@ class HESICFastCodec(HESICCodec):
             (tuple(s), k) for s, k in specs))
         (c1d, st1d, w1d, c2d, st2d, w2d, z1_sym, z2_sym) = unpack(buf_dev)
         return self._finish_decode(c1d, st1d, w1d, c2d, st2d, w2d, z1_sym,
-                                   z2_sym, h_matrix, y_shape, start)
+                                   z2_sym, h_matrix, y_shape, start,
+                                   corr1, corr2)
 
     # ---- z-path host helpers (symbols already centered) ----
 
