@@ -103,11 +103,12 @@ def main():
                    dtype=jnp.bfloat16 if use_bf16 else None)
     if calib_steps > 0:
         params = _calibrate(module, rng, calib_steps)
-        codec = HESICFastCodec(module, params, mm=mm)
+        codec = HESICFastCodec(module, params, mm=mm, codec_batch=batch)
     else:
         codec = HESICFastCodec.init(
             module, [(1, hw, hw, 3), (1, hw, hw, 3), (1, 3, 3)])
-        codec = HESICFastCodec(codec.module, codec.params, mm=mm)
+        codec = HESICFastCodec(codec.module, codec.params, mm=mm,
+                               codec_batch=batch)
     codec.update()
 
     h = jnp.tile(jnp.eye(3, dtype=jnp.float32)[None], (batch, 1, 1))

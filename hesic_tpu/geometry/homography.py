@@ -114,16 +114,15 @@ def warp_perspective(src, m, dsize=None):
 
     ys, xs = jnp.meshgrid(jnp.arange(ho, dtype=jnp.float32),
                           jnp.arange(wo, dtype=jnp.float32), indexing="ij")
-    grid = jnp.stack([xs, ys, jnp.ones_like(xs)], axis=-1)  # (Ho, Wo, 3)
 
     def warp_one(img, hm):
-        pts = grid @ hm.T  # (Ho, Wo, 3)
-        denom = pts[..., 2:3]
-        denom = jnp.where(jnp.abs(denom) < 1e-8,
-                          jnp.full_like(denom, 1e-8), denom)
-        sx = pts[..., 0] / denom[..., 0]
-        sy = pts[..., 1] / denom[..., 0]
-        return _bilinear_sample(img, sx, sy)
+        # elementwise projective transform (a matmul would run at reduced
+        # MXU f32 precision on TPU and perturb sampling weights)
+        px = hm[0, 0] * xs + hm[0, 1] * ys + hm[0, 2]
+        py = hm[1, 0] * xs + hm[1, 1] * ys + hm[1, 2]
+        pz = hm[2, 0] * xs + hm[2, 1] * ys + hm[2, 2]
+        pz = jnp.where(jnp.abs(pz) < 1e-8, 1e-8, pz)
+        return _bilinear_sample(img, px / pz, py / pz)
 
     return jax.vmap(warp_one)(src, m_inv)
 

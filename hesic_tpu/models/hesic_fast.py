@@ -49,6 +49,7 @@ from ..codecs.device_rans import (freq_to_cdf,
                                   unpack_stream)
 
 from ..geometry import warp_perspective
+from ..geometry.fast_warp import warp_perspective_mxu
 from .hesic_codec import HESICCodec
 
 MM_DEFAULT = 32       # symbol grid half-width
@@ -198,7 +199,7 @@ class HESICFastCodec(HESICCodec):
                 med1 = params["entropy_bottleneck1"]["quantiles"][:, 0, 1]
                 z1_sym = jnp.round(z1 - med1).astype(jnp.int32)
                 y1_hat = jnp.round(y1).astype(jnp.int32)
-                x1_warp = warp_perspective(x1, h, size)
+                x1_warp, wov = warp_perspective_mxu(x1, h, size)
                 y2 = apply(params, "analysis2", x1_warp, x2)
                 z2 = apply(params, "hyper_analysis2", y2)
                 med2 = params["entropy_bottleneck2"]["quantiles"][:, 0, 1]
@@ -207,7 +208,8 @@ class HESICFastCodec(HESICCodec):
                 over1 = jnp.sum(jnp.abs(y1_hat) > mm, axis=(1, 2, 3))
                 over2 = jnp.sum(jnp.abs(y2_hat) > mm, axis=(1, 2, 3))
                 return (y1_hat, y2_hat, z1_sym, z2_sym,
-                        over1.astype(jnp.int32), over2.astype(jnp.int32))
+                        over1.astype(jnp.int32), over2.astype(jnp.int32),
+                        wov.astype(jnp.int32))
 
         elif name == "cond1":
             # SHARED: z1 symbols -> left-eye frequency rows
@@ -221,12 +223,17 @@ class HESICFastCodec(HESICCodec):
 
         elif name == "cond2":
             # SHARED: decoded left latent + z2 symbols -> right-eye
-            # frequency rows and the left reconstruction
+            # frequency rows and the left reconstruction.  The re-encode
+            # chain (newnet1.py:753-756) uses the MXU warp: both sides run
+            # this same executable, so only determinism matters.
             @jax.jit
             def fn(params, y1_hat, z2_sym, h):
                 x1_hat = apply(params, "synthesis1",
                                y1_hat.astype(jnp.float32))
-                y1_prior = apply(params, "left_prior", x1_hat, h)
+                size = (x1_hat.shape[1], x1_hat.shape[2])
+                x1_warp_ac, _ = warp_perspective_mxu(x1_hat, h, size)
+                y1_prior = jnp.round(
+                    apply(params, "analysis1", x1_warp_ac))
                 med2 = params["entropy_bottleneck2"]["quantiles"][:, 0, 1]
                 z2_hat = z2_sym.astype(jnp.float32) + med2
                 gmm2 = apply(params, "gmm2", z2_hat, y1_prior)
@@ -264,7 +271,7 @@ class HESICFastCodec(HESICCodec):
             @jax.jit
             def fn(params, y2_hat, x1_hat, h):
                 size = (x1_hat.shape[1], x1_hat.shape[2])
-                x1_hat_warp = warp_perspective(x1_hat, h, size)
+                x1_hat_warp, _ = warp_perspective_mxu(x1_hat, h, size)
                 return apply(params, "synthesis2",
                              y2_hat.astype(jnp.float32), x1_hat_warp)
 
@@ -451,8 +458,8 @@ class HESICFastCodec(HESICCodec):
         if h_matrix.shape[0] != x1.shape[0]:
             h_matrix = jnp.broadcast_to(h_matrix, (x1.shape[0], 3, 3))
 
-        (y1_hat, y2_hat, z1_sym, z2_sym, over1,
-         over2) = self._fn("transforms_enc")(self.params, x1, x2, h_matrix)
+        (y1_hat, y2_hat, z1_sym, z2_sym, over1, over2,
+         _wov) = self._fn("transforms_enc")(self.params, x1, x2, h_matrix)
         freq1 = self._cond1(z1_sym)
         s1 = self._fn("encode_stream")(freq1, y1_hat)
         freq2, _ = self._cond2(y1_hat, z2_sym, h_matrix)
