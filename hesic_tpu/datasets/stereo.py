@@ -52,10 +52,16 @@ def _resize(img: np.ndarray, size: int) -> np.ndarray:
 
 def _homography_inputs(img: np.ndarray, x: int, y: int):
     """Grayscale, normalized, cropped patch for the homography net."""
+    return _homography_full(img)[y: y + HOMO_PATCH_SIZE,
+                                 x: x + HOMO_PATCH_SIZE]
+
+
+def _homography_full(img: np.ndarray):
+    """Full 256 grayscale normalized image (photometric_loss warps the
+    FULL image, not the patch — udh/udh/model.py:18-45)."""
     small = _resize(img, HOMO_PIC_SIZE)
     gray = small.mean(axis=-1, keepdims=True)
-    gray = (gray - MEAN) / STD
-    return gray[y: y + HOMO_PATCH_SIZE, x: x + HOMO_PATCH_SIZE]
+    return (gray - MEAN) / STD
 
 
 class StereoImageFolder:
@@ -120,11 +126,16 @@ class StereoImageFolder:
              [x + HOMO_PATCH_SIZE, y + HOMO_PATCH_SIZE],
              [x, y + HOMO_PATCH_SIZE]], np.float32)
 
+        full1 = _homography_full(img1)
         item = {
             "x1": img1,
             "x2": img2,
-            "homo_img1": _homography_inputs(img1, x, y),
+            "homo_img1": full1[y: y + HOMO_PATCH_SIZE,
+                               x: x + HOMO_PATCH_SIZE],
             "homo_img2": _homography_inputs(img2, x, y),
+            # full left view: photometric_loss warps the whole image so
+            # content can enter the patch from outside it (model.py:18-45)
+            "homo_full1": full1,
             "corners": corners,
         }
         if self.need_file_name:

@@ -95,13 +95,13 @@ class GlobalContext(nn.Module):
     def __call__(self, y1_hat):
         fc = self.F * self.C
         x = Conv(fc, stride=1)(y1_hat)
-        x = nn.GroupNorm(num_groups=self.F)(x)
+        x = nn.GroupNorm(num_groups=self.F, epsilon=1e-5)(x)
         x = nn.relu(x)
         x = Conv(fc, stride=1)(x)
-        x = nn.GroupNorm(num_groups=self.F)(x)
+        x = nn.GroupNorm(num_groups=self.F, epsilon=1e-5)(x)
         x = nn.relu(x)
         x = Conv(fc, stride=1)(x)
-        x = nn.GroupNorm(num_groups=self.F)(x)
+        x = nn.GroupNorm(num_groups=self.F, epsilon=1e-5)(x)
         x = nn.relu(x)
         x = Conv(fc, stride=1)(x)
         b, h, w, _ = x.shape
@@ -127,21 +127,22 @@ class CostVolume(nn.Module):
         # 2-D branch on concatenated features
         h = jnp.concatenate([h1, h2], axis=-1)
         h = Conv(self.N, stride=1)(h)
-        h = nn.GroupNorm(num_groups=4)(h)
+        h = nn.GroupNorm(num_groups=4, epsilon=1e-5)(h)
         h = nn.relu(h)
         h = Conv(self.N, stride=1)(h)
-        h = nn.GroupNorm(num_groups=4)(h)
+        h = nn.GroupNorm(num_groups=4, epsilon=1e-5)(h)
         h = nn.relu(h)
 
-        # 3-D branch on the upsampled context volume (B, C, hy, wy, F0)
+        # 3-D branch on the upsampled context volume (B, C, hy, wy, F0);
+        # align_corners=True bilinear matches the reference
+        # nn.UpsamplingBilinear2d (mynet6.py:207)
         b, c, hy, wy, f0 = d.shape
-        d_up = jax.image.resize(
-            d, (b, c, hy * self.scale, wy * self.scale, f0), "bilinear")
+        d_up = _upsample_bilinear_align_corners(d, self.scale)
         d3 = Conv3D(f0)(d_up)
-        d3 = nn.GroupNorm(num_groups=1)(d3)
+        d3 = nn.GroupNorm(num_groups=1, epsilon=1e-5)(d3)
         d3 = nn.relu(d3)
         d3 = Conv3D(f0)(d3)
-        d3 = nn.GroupNorm(num_groups=1)(d3)
+        d3 = nn.GroupNorm(num_groups=1, epsilon=1e-5)(d3)
         d3 = nn.relu(d3)
         # (B, C, H, W, F0) -> (B, H, W, F0*C) with channel layout f*C + c
         d2 = d3.transpose(0, 2, 3, 4, 1).reshape(
@@ -149,13 +150,39 @@ class CostVolume(nn.Module):
 
         x = jnp.concatenate([h, d2], axis=-1)
         x = Conv(self.N, stride=1)(x)
-        x = nn.GroupNorm(num_groups=4)(x)
+        x = nn.GroupNorm(num_groups=4, epsilon=1e-5)(x)
         x = nn.relu(x)
         x = Conv(self.N, stride=1)(x)
-        x = nn.GroupNorm(num_groups=4)(x)
+        x = nn.GroupNorm(num_groups=4, epsilon=1e-5)(x)
         x = nn.relu(x)
         x = Conv(self.C, stride=1)(x)
         return jax.nn.softmax(x, axis=-1)
+
+
+def _interp_matrix(n_in: int, n_out: int):
+    """1-D align_corners=True linear interpolation matrix (n_out, n_in)."""
+    if n_in == 1:
+        return jnp.ones((n_out, 1), jnp.float32)
+    pos = jnp.arange(n_out, dtype=jnp.float32) * (n_in - 1) / (n_out - 1)
+    lo = jnp.clip(jnp.floor(pos).astype(jnp.int32), 0, n_in - 2)
+    fr = pos - lo.astype(jnp.float32)
+    rows = jnp.arange(n_out)
+    m = jnp.zeros((n_out, n_in), jnp.float32)
+    m = m.at[rows, lo].add(1.0 - fr)
+    m = m.at[rows, lo + 1].add(fr)
+    return m
+
+
+def _upsample_bilinear_align_corners(d, scale: int):
+    """(B, C, h, w, F0) -> (B, C, h*s, w*s, F0), torch UpsamplingBilinear2d
+    semantics (align_corners=True)."""
+    _, _, hy, wy, _ = d.shape
+    mh = _interp_matrix(hy, hy * scale)
+    mw = _interp_matrix(wy, wy * scale)
+    d = jnp.einsum("Oh,bchwf->bcOwf", mh, d,
+                   precision=jax.lax.Precision.HIGHEST)
+    return jnp.einsum("Pw,bchwf->bchPf", mw, d,
+                      precision=jax.lax.Precision.HIGHEST)
 
 
 def dense_warp(h1, cost):

@@ -53,7 +53,9 @@ def main(argv=None):
             delta = net.apply({"params": p}, batch["homo_img1"],
                               batch["homo_img2"], training=True,
                               rngs={"dropout": rng})
-            return photometric_loss(delta, batch["homo_img1"],
+            # warp the FULL left image (not the patch): warped content may
+            # enter the patch from outside it (udh/udh/model.py:18-45)
+            return photometric_loss(delta, batch["homo_full1"],
                                     batch["homo_img2"], batch["corners"])
 
         loss, grads = jax.value_and_grad(loss_fn)(params)
