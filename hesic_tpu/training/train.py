@@ -53,10 +53,21 @@ def make_homography_fn(homo_checkpoint, patch_size):
 
     @jax.jit
     def get_h(homo1, homo2, corners):
+        # corners are re-anchored at their own top-left first — the
+        # convention the net is trained with (photometric_loss,
+        # model.py:24) and that the reference eval uses
+        # (newtrain1_real.py:120 / test3real.py:175)
+        corners = corners - corners[:, 0:1, :]
         h = net.apply({"params": params}, homo1, homo2, corners,
                       method="get_h")
-        scale = patch_size[0] / 256.0
-        return jax.vmap(lambda m: upscale_homography(m, scale))(h)
+        # rescale from 256-space to the working resolution (h_adjust,
+        # newtrain1_real.py:47-57; the reference swaps the two axis
+        # ratios for non-square inputs — a quirk invisible on its square
+        # crops — we apply the geometrically correct per-axis scales)
+        sh = patch_size[0] / 256.0
+        sw = patch_size[1] / 256.0
+        return jax.vmap(
+            lambda m: upscale_homography(m, sh, sw))(h)
 
     def fn(batch):
         h = get_h(jnp.asarray(batch["homo_img1"]),

@@ -74,13 +74,24 @@ def eval_single(codec, x: np.ndarray, entropy_estimation: bool) -> dict:
 
 def eval_stereo(codec, x1, x2, h_matrix, entropy_estimation: bool,
                 with_h: bool, workdir: str, name: str) -> dict:
+    """One pair through the test3real protocol (reference test3real.py):
+    per-eye PSNR / MS-SSIM plus averages, bpp over 2*H*W, and — in
+    estimation mode — the reference's bpp1/bpp2 per-eye breakdown
+    (normalized by 1*H*W like test3real's RateDistortionLoss kind=1)."""
     num_pixels = 2 * x1.shape[1] * x1.shape[2]
+    eye_pixels = x1.shape[1] * x1.shape[2]
     args = (jnp.asarray(x1), jnp.asarray(x2)) + (
         (jnp.asarray(h_matrix),) if with_h else ())
+    extra = {}
     if entropy_estimation:
         out = codec.forward(*args, training=False)
-        bpp = float(sum(bits(lik) for lik in
-                        out["likelihoods"].values())) / num_pixels
+        lik = out["likelihoods"]
+        bpp = float(sum(bits(v) for v in lik.values())) / num_pixels
+        if "y1" in lik:
+            extra["bpp1"] = float(bits(lik["y1"])
+                                  + bits(lik["z1"])) / eye_pixels
+            extra["bpp2"] = float(bits(lik["y2"])
+                                  + bits(lik["z2"])) / eye_pixels
         x1_hat = np.asarray(jnp.clip(out["x1_hat"], 0, 1))
         x2_hat = np.asarray(jnp.clip(out["x2_hat"], 0, 1))
         enc_t = dec_t = 0.0
@@ -94,10 +105,13 @@ def eval_stereo(codec, x1, x2, h_matrix, entropy_estimation: bool,
         x1_hat = np.asarray(jnp.clip(rec["x1_hat"], 0, 1))
         x2_hat = np.asarray(jnp.clip(rec["x2_hat"], 0, 1))
     # per-eye PSNR averaged (reference test3real.py:110-111,216)
-    psnr = (np_psnr(x1, x1_hat) + np_psnr(x2, x2_hat)) / 2
-    ms = (float(ms_ssim(jnp.asarray(x1), jnp.asarray(x1_hat)))
-          + float(ms_ssim(jnp.asarray(x2), jnp.asarray(x2_hat)))) / 2
-    return {"psnr": psnr, "ms-ssim": ms, "bpp": bpp,
+    psnr1 = np_psnr(x1, x1_hat)
+    psnr2 = np_psnr(x2, x2_hat)
+    ms1 = float(ms_ssim(jnp.asarray(x1), jnp.asarray(x1_hat)))
+    ms2 = float(ms_ssim(jnp.asarray(x2), jnp.asarray(x2_hat)))
+    return {"psnr": (psnr1 + psnr2) / 2, "psnr1": psnr1, "psnr2": psnr2,
+            "ms-ssim": (ms1 + ms2) / 2, "ms-ssim1": ms1, "ms-ssim2": ms2,
+            "bpp": bpp, **extra,
             "encoding_time": enc_t, "decoding_time": dec_t}
 
 
@@ -109,6 +123,9 @@ def main(argv=None):
     parser.add_argument("--checkpoint", default=None)
     parser.add_argument("--quality", type=int, default=1)
     parser.add_argument("--entropy-estimation", action="store_true")
+    parser.add_argument("--homography-net", default=None,
+                        help="homography-net checkpoint: predict H per "
+                        "pair instead of identity (test3real protocol)")
     parser.add_argument("--max-images", type=int, default=None)
     parser.add_argument("--workdir", default="/tmp")
     parser.add_argument("--output", default=None)
@@ -126,12 +143,25 @@ def main(argv=None):
         ds = StereoImageFolder(args.dataset, split=args.split,
                                patch_size=(512, 512), need_file_name=True)
         identity = np.eye(3, dtype=np.float32)[None]
+        homography_fn = None
+        if args.homography_net is not None:
+            from ..training.train import make_homography_fn
+            item0 = ds[0]
+            homography_fn = make_homography_fn(
+                args.homography_net,
+                (item0["x1"].shape[0], item0["x1"].shape[1]))
         for i in range(len(ds)):
             if args.max_images and i >= args.max_images:
                 break
             item = ds[i]
+            if homography_fn is not None:
+                h = np.asarray(homography_fn(
+                    {k: v[None] for k, v in item.items()
+                     if not isinstance(v, str)}))
+            else:
+                h = identity
             res = eval_stereo(codec, item["x1"][None], item["x2"][None],
-                              identity, args.entropy_estimation, with_h,
+                              h, args.entropy_estimation, with_h,
                               args.workdir, f"eval_{i}")
             results.append(res)
             print(f"[{i}] {item.get('name', i)}: "
