@@ -112,6 +112,22 @@ class JPEG(PillowCodec):
     quality_range = (1, 95)
 
 
+class JPEG2000(PillowCodec):
+    """JPEG2000 via Pillow/OpenJPEG (reference codecs.py:237-266 wraps the
+    opj binaries; Pillow's bindings expose the same encoder).  'quality'
+    is the compression RATIO (reference -r flag semantics)."""
+
+    fmt = "JPEG2000"
+    quality_range = (1, 400)
+
+    def encode(self, img, quality):
+        buf = io.BytesIO()
+        Image.fromarray(_to_uint8(img)).save(
+            buf, format="JPEG2000", quality_mode="rates",
+            quality_layers=[max(int(quality), 1)], irreversible=True)
+        return buf.getvalue()
+
+
 class WebP(PillowCodec):
     fmt = "WEBP"
     quality_range = (1, 100)
@@ -214,22 +230,91 @@ class AV1(_FFmpegVideoIntra):
     quality_range = (0, 63)
 
 
-class VTM(BinaryCodec):
-    """VVC VTM reference software wrapper (EncoderApp/DecoderApp),
-    reference codecs.py:460-620.  Activates when the binaries exist."""
+def _rgb_to_ycbcr444_u8(img: np.ndarray) -> np.ndarray:
+    """(H, W, 3) floats in [0, 1] -> planar YCbCr 4:4:4 uint8."""
+    ycc = _to_uint8(rgb_to_ycbcr(img))
+    return np.ascontiguousarray(ycc.transpose(2, 0, 1))
+
+
+def _ycbcr444_u8_to_rgb(planes: np.ndarray) -> np.ndarray:
+    ycc = planes.transpose(1, 2, 0).astype(np.float32) / 255.0
+    y, cb, cr = ycc[..., 0], ycc[..., 1] - 0.5, ycc[..., 2] - 0.5
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    return np.clip(np.stack([r, g, b], axis=-1), 0, 1)
+
+
+class _ReferenceSoftware(BinaryCodec):
+    """HM/VTM-style reference-software wrapper (reference
+    codecs.py:460-856): PNG -> planar YCbCr444 yuv -> EncoderApp with the
+    intra cfg -> DecoderApp -> metrics.  The intra cfg path comes from the
+    class env var (the reference takes it via --build-dir/--config)."""
+
+    cfg_env = ""
+    quality_range = (0, 51)
+
+    def _cfg(self) -> str:
+        cfg = os.environ.get(self.cfg_env, "")
+        if not cfg or not os.path.isfile(cfg):
+            raise FileNotFoundError(
+                f"set ${self.cfg_env} to the encoder intra cfg file")
+        return cfg
+
+    def run(self, path: str, quality: int) -> dict:  # pragma: no cover
+        # (exercised only where the reference binaries are installed)
+        import tempfile
+
+        img = np.asarray(Image.open(path).convert("RGB"), np.float32) / 255.0
+        h, w, _ = img.shape
+        with tempfile.TemporaryDirectory() as td:
+            yuv = os.path.join(td, "in.yuv")
+            bit = os.path.join(td, "out.bin")
+            rec = os.path.join(td, "rec.yuv")
+            _rgb_to_ycbcr444_u8(img).tofile(yuv)
+            t0 = time.time()
+            self._run([
+                shutil.which(self.encode_bin), "-c", self._cfg(),
+                "-i", yuv, "-b", bit, "-o", "",
+                "-wdt", str(w), "-hgt", str(h),
+                "-q", str(quality), "-f", "1", "-fr", "1",
+                "--InputChromaFormat=444", "--InputBitDepth=8",
+                "--ConformanceWindowMode=1",
+            ])
+            enc_t = time.time() - t0
+            t0 = time.time()
+            self._run([shutil.which(self.decode_bin), "-b", bit, "-o", rec,
+                       "-d", "8"])
+            dec_t = time.time() - t0
+            planes = np.fromfile(rec, np.uint8)[: 3 * h * w]
+            out_img = _ycbcr444_u8_to_rgb(planes.reshape(3, h, w))
+            size = os.path.getsize(bit)
+        out = compute_metrics(img, out_img)
+        out.update({"bpp": size * 8 / (h * w), "encoding_time": enc_t,
+                    "decoding_time": dec_t})
+        return out
+
+
+class VTM(_ReferenceSoftware):
+    """VVC VTM (EncoderApp/DecoderApp); cfg via $VTM_CFG."""
 
     encode_bin = "EncoderApp"
     decode_bin = "DecoderApp"
+    cfg_env = "VTM_CFG"
     quality_range = (0, 63)
 
-    def run(self, path: str, quality: int) -> dict:  # pragma: no cover
-        raise NotImplementedError(
-            "VTM wrapper requires EncoderApp/DecoderApp binaries and a cfg; "
-            "install the VTM reference software to use this codec")
+
+class HM(_ReferenceSoftware):
+    """HEVC HM (TAppEncoder/TAppDecoder); cfg via $HM_CFG."""
+
+    encode_bin = "TAppEncoder"
+    decode_bin = "TAppDecoder"
+    cfg_env = "HM_CFG"
+    quality_range = (0, 51)
 
 
-CODECS = {"jpeg": JPEG, "webp": WebP, "bpg": BPG, "hevc": HEVC, "av1": AV1,
-          "vtm": VTM}
+CODECS = {"jpeg": JPEG, "jpeg2000": JPEG2000, "webp": WebP, "bpg": BPG,
+          "hevc": HEVC, "av1": AV1, "vtm": VTM, "hm": HM}
 
 
 def _worker(task):

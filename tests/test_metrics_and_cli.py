@@ -93,6 +93,32 @@ class TestBenchCodecs:
         assert len(res["results"]["bpp"]) == 2
         assert res["results"]["psnr-rgb"][1] > res["results"]["psnr-rgb"][0]
 
+    def test_jpeg2000_runs(self, tmp_path):
+        from hesic_tpu.utils.bench_codecs import collect
+        d = tmp_path / "imgs"
+        d.mkdir()
+        _write_png(str(d / "0.png"), seed=0, size=(96, 96))
+        res = collect("jpeg2000", str(d), [2, 100])
+        # quality = compression ratio: higher ratio -> lower bpp
+        assert res["results"]["bpp"][1] < res["results"]["bpp"][0]
+        # near-lossless at ratio 2 even on noise
+        assert res["results"]["psnr-rgb"][0] > 25
+
+    def test_ycbcr444_roundtrip(self):
+        from hesic_tpu.utils.bench_codecs import (_rgb_to_ycbcr444_u8,
+                                                  _ycbcr444_u8_to_rgb)
+        img = np.random.RandomState(0).rand(16, 24, 3).astype(np.float32)
+        planes = _rgb_to_ycbcr444_u8(img)
+        assert planes.shape == (3, 16, 24) and planes.dtype == np.uint8
+        back = _ycbcr444_u8_to_rgb(planes)
+        assert np.abs(back - img).max() < 0.02  # u8 quantization only
+
+    def test_reference_software_gates_on_binaries(self):
+        from hesic_tpu.utils.bench_codecs import HM, VTM
+        for cls in (VTM, HM):
+            codec = cls()
+            assert not codec.available()  # not installed in this image
+
     def test_plot_writes_figure(self, tmp_path):
         pytest.importorskip("matplotlib")
         from hesic_tpu.utils.plot import plot_rd
