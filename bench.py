@@ -23,6 +23,23 @@ import numpy as np
 BASELINE_PAIRS_PER_SEC = 25.0
 
 
+def _enable_compile_cache():
+    """Persistent XLA-executable cache: bench wall time is dominated by
+    remote compiles (~10 programs, 8-17 min first run); cached reruns
+    skip them entirely."""
+    import jax
+    cache_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                               "/tmp/jax_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass  # older jax: flag names differ; cache is an optimization only
+
+
+_enable_compile_cache()
+
+
 def _smooth_pair(rng, hw):
     """Low-pass random field + a shifted copy as the second eye.
 
@@ -86,6 +103,49 @@ def _calibrate(module, rng, steps: int, hw: int = 256, batch: int = 4):
     return state.params
 
 
+def bench_ar():
+    """Secondary mode (BENCH_MODE=ar): the autoregressive codec path
+    (mbt2018) — native C++ raster coder, thread-parallel across the batch.
+    Reference pain point being measured: priors.py:519 'Warning, this is
+    slow' (per-pixel Python<->C++ coding loops)."""
+    import jax
+    import jax.numpy as jnp
+    from hesic_tpu.models import (JointAutoregressiveCodec,
+                                  JointAutoregressiveHierarchicalPriors)
+
+    hw = int(os.environ.get("BENCH_SIZE", "512"))
+    batch = int(os.environ.get("BENCH_BATCH", "8"))
+    n_batches = int(os.environ.get("BENCH_BATCHES", "2"))
+    rng = np.random.RandomState(0)
+
+    module = JointAutoregressiveHierarchicalPriors(N=192, M=192)
+    codec = JointAutoregressiveCodec.init(module, [(1, hw, hw, 3)])
+    codec = JointAutoregressiveCodec(codec.module, codec.params)
+    codec.update()
+
+    xs = [_smooth_pair(rng, hw)[0] for _ in range(batch)]
+    x = jnp.asarray(np.concatenate(xs))
+
+    out = codec.compress(x)  # warmup/compile
+    rec = codec.decompress(out["strings"], out["shape"])
+    jax.block_until_ready(rec["x_hat"])
+
+    start = time.time()
+    for _ in range(n_batches):
+        out = codec.compress(x)
+        rec = codec.decompress(out["strings"], out["shape"])
+    jax.block_until_ready(rec["x_hat"])
+    elapsed = time.time() - start
+    images_per_sec = n_batches * batch / elapsed
+
+    print(json.dumps({
+        "metric": f"mbt2018_images_per_sec_{hw}px_encdec",
+        "value": round(images_per_sec, 3),
+        "unit": "images/s/chip",
+        "vs_baseline": round(images_per_sec / BASELINE_PAIRS_PER_SEC, 3),
+    }))
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -97,7 +157,10 @@ def main():
     calib_steps = int(os.environ.get("BENCH_CALIB_STEPS", "60"))
     rng = np.random.RandomState(0)
 
-    mm = int(os.environ.get("BENCH_MM", "16"))
+    # mm=32 matches the codec default (MM_DEFAULT); with per-channel grid
+    # centering the grid covers residual spread, and out-of-grid latents
+    # escape-code exactly, so this is the defensible serving setting
+    mm = int(os.environ.get("BENCH_MM", "32"))
     use_bf16 = os.environ.get("BENCH_BF16", "1") == "1"
     module = HESIC(N=128, M=192, K=5,
                    dtype=jnp.bfloat16 if use_bf16 else None)
@@ -147,4 +210,7 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if os.environ.get("BENCH_MODE", "") == "ar":
+        bench_ar()
+    else:
+        main()

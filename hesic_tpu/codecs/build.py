@@ -16,6 +16,12 @@ SRC = os.path.join(_THIS_DIR, "csrc", "rans.cpp")
 LIB = os.path.join(_THIS_DIR, "librans_tpu.so")
 
 _CXX_FLAGS = ["-O3", "-std=c++17", "-shared", "-fPIC", "-Wall"]
+# -march=native vectorizes the AR coder's matvecs (independent output
+# lanes, so per-output float summation order — and therefore the coder's
+# encode/decode agreement — is unchanged).  -std=c++17 keeps
+# -ffp-contract off (ISO mode), so no FMA contraction sneaks in.  The .so
+# is built per machine on first import, so ISA portability is moot.
+_ARCH_FLAGS = ["-march=native"]
 
 
 def _needs_build() -> bool:
@@ -28,7 +34,14 @@ def build(force: bool = False) -> str:
     """Compile the shared library if needed and return its path."""
     if force or _needs_build():
         cxx = os.environ.get("CXX", "g++")
-        cmd = [cxx, *_CXX_FLAGS, SRC, "-o", LIB + ".tmp"]
-        subprocess.run(cmd, check=True, capture_output=True, text=True)
+        for arch in (_ARCH_FLAGS, []):
+            cmd = [cxx, *_CXX_FLAGS, *arch, SRC, "-o", LIB + ".tmp"]
+            try:
+                subprocess.run(cmd, check=True, capture_output=True,
+                               text=True)
+                break
+            except subprocess.CalledProcessError:
+                if not arch:  # even the portable flags failed
+                    raise
         os.replace(LIB + ".tmp", LIB)
     return LIB

@@ -110,11 +110,23 @@ def rans_encode_grid(starts, freqs, valid):
         return x, (word, need)
 
     init = jnp.full((lanes,), RANS_L, jnp.uint32)
+    # unroll: per-step work is tiny relative to scan-iteration dispatch
+    # overhead, so fusing 8 steps per loop iteration is a large win
     states, (words_t, need_t) = jax.lax.scan(
-        step, init, (starts, freqs, recips, valid), reverse=True)
+        step, init, (starts, freqs, recips, valid), reverse=True,
+        unroll=8 if t_steps % 8 == 0 else 1)
 
-    # compaction: emission order is decreasing t, so position of step t's
-    # word is the number of emissions at steps > t
+    buf, counts = compact_words(words_t, need_t)
+    return buf, counts, states
+
+
+def compact_words(words_t, need_t):
+    """Compact per-step emissions (T, L) into per-lane buffers (L, T+2).
+
+    Emission order is decreasing t, so position of step t's word is the
+    number of emissions at steps > t.
+    """
+    t_steps, lanes = words_t.shape
     need_i = need_t.astype(jnp.int32)
     counts = jnp.sum(need_i, axis=0)                      # (L,)
     incl = jnp.cumsum(need_i, axis=0)                     # (T, L)
@@ -122,10 +134,10 @@ def rans_encode_grid(starts, freqs, valid):
     cap = t_steps + 2
     lane_ids = jnp.broadcast_to(jnp.arange(lanes)[None, :],
                                 pos.shape)
-    pos_safe = jnp.where(need_t, pos, cap)                # dump slot
+    pos_safe = jnp.where(need_i != 0, pos, cap)           # dump slot
     buf = jnp.zeros((lanes, cap + 1), jnp.int32)
     buf = buf.at[lane_ids, pos_safe].set(words_t, mode="drop")
-    return buf[:, :cap], counts, states
+    return buf[:, :cap], counts
 
 
 def grid_from_flat(arr, lanes: int, fill):
@@ -188,7 +200,8 @@ def rans_decode_grid(words, counts, states, rows, valid):
         return (x, p), jnp.where(v, sym, 0)
 
     init = (states.astype(jnp.uint32), counts.astype(jnp.int32))
-    (_, _), syms = jax.lax.scan(step, init, (rows, valid))
+    (_, _), syms = jax.lax.scan(step, init, (rows, valid),
+                                unroll=8 if t_steps % 8 == 0 else 1)
     return syms
 
 

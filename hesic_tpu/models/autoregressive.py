@@ -123,6 +123,18 @@ def _empty_post(pre):
     return jnp.zeros((b, h, w_dim, 0), jnp.float32)
 
 
+def _batch_parallel(fn, n: int):
+    """Map fn over range(n), threading when n > 1 (the native coder
+    releases the GIL, so threads scale across host cores)."""
+    if n <= 1:
+        return [fn(i) for i in range(n)]
+    from concurrent.futures import ThreadPoolExecutor
+    import os as _os
+    workers = min(n, _os.cpu_count() or 4)
+    with ThreadPoolExecutor(workers) as ex:
+        return list(ex.map(fn, range(n)))
+
+
 def _native_weights(codec, ctx_name: str, ep_prefix: str):
     from ..codecs.rans import ArWeightsNative
     w = extract_ar_weights(codec.params, ctx_name, ep_prefix)
@@ -151,14 +163,15 @@ def ar_compress(codec, y, pre, post=None,
     post_np = None if post is None else np.asarray(post, np.float32)
     tables = codec.tables[gc_name]
     y = np.asarray(y, np.float32)
-    strings, y_hats = [], []
-    for i in range(y.shape[0]):
-        s, y_hat = ar_code(0, weights, pre[i],
-                           None if post_np is None else post_np[i],
-                           tables, y=y[i])
-        strings.append(s)
-        y_hats.append(y_hat)
-    return strings, jnp.asarray(np.stack(y_hats))
+    # images are independent streams and the native call releases the GIL,
+    # so a thread pool gives true batch parallelism on the host cores
+    outs = _batch_parallel(
+        lambda i: ar_code(0, weights, pre[i],
+                          None if post_np is None else post_np[i],
+                          tables, y=y[i]),
+        y.shape[0])
+    strings = [o[0] for o in outs]
+    return strings, jnp.asarray(np.stack([o[1] for o in outs]))
 
 
 def ar_decompress(codec, y_strings: list[bytes], pre, post=None,
@@ -172,11 +185,11 @@ def ar_decompress(codec, y_strings: list[bytes], pre, post=None,
     pre = np.asarray(pre, np.float32)
     post_np = None if post is None else np.asarray(post, np.float32)
     tables = codec.tables[gc_name]
-    outs = []
-    for i, s in enumerate(y_strings):
-        outs.append(ar_code(1, weights, pre[i],
-                            None if post_np is None else post_np[i],
-                            tables, stream=s))
+    outs = _batch_parallel(
+        lambda i: ar_code(1, weights, pre[i],
+                          None if post_np is None else post_np[i],
+                          tables, stream=y_strings[i]),
+        len(y_strings))
     return jnp.asarray(np.stack(outs))
 
 

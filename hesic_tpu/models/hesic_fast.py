@@ -22,14 +22,19 @@ before it is compute-bound.
 
 Format deviations vs the reference container (all self-consistent,
 documented):
-  * y symbols are coded on a fixed [-MM, MM] grid (static shapes mean one
-    XLA compilation) instead of a per-image data-derived minmax.  Latents
-    beyond the grid are NOT lost: the encoder detects them (one scalar per
-    eye in the existing stats sync), stores exact (index, value)
-    corrections in a sparse container section, and the decoder restores
-    the true integers before the cross-eye conditioning — so the roundtrip
-    is bit-exact for arbitrary latents, matching the reference's
-    data-derived minmax behavior (newnet1.py:873-906) at O(outliers) cost.
+  * y symbols are coded on a PER-CHANNEL-CENTERED fixed-width grid
+    [c_m - MM, c_m + MM] (static shapes mean one XLA compilation) instead
+    of a per-image data-derived minmax.  The centers c_m =
+    round(spatial mean of the channel's GMM mixture mean) are computed
+    inside the shared conditioning programs, so both sides derive them
+    identically and nothing is stored.  Latents beyond the grid are NOT
+    lost: the encoder detects them (one scalar per eye in the existing
+    stats sync), stores exact (index, value) corrections in a sparse
+    container section, and the decoder overwrites the clamped decode with
+    the true integers before the cross-eye conditioning — so the
+    roundtrip is bit-exact for arbitrary latents, matching the
+    reference's data-derived minmax behavior (newnet1.py:873-906) at
+    O(outliers) cost.
   * y streams use the interleaved-lane rANS with power-of-two totals
     (codecs/device_rans.py) instead of the arbitrary-total range coder.
   * z streams stay on the host rANS coder (tiny payloads, escape coding).
@@ -47,6 +52,18 @@ from ..codecs.device_rans import (freq_to_cdf,
                                   pack_stream, quantize_pmf_device,
                                   rans_decode_grid, rans_encode_grid,
                                   unpack_stream)
+from ..codecs.pallas_rans import (rans_decode_grid_pallas,
+                                  rans_encode_grid_pallas)
+
+
+def _use_pallas() -> bool:
+    """Mosaic kernels on real TPUs; the lax.scan path elsewhere (CPU
+    tests, TPU-less dryruns).  Streams are bit-identical either way —
+    the coder is pure integer arithmetic (see codecs/pallas_rans.py)."""
+    import os
+    if os.environ.get("HESIC_NO_PALLAS", "") == "1":
+        return False
+    return jax.default_backend() == "tpu"
 
 from ..geometry import warp_perspective
 from ..geometry.fast_warp import warp_perspective_mxu
@@ -64,16 +81,34 @@ def _bucket_cap(c: int) -> int:
 
 
 def _gmm_freq_fast(sigma, means, weights, mm: int, k: int):
-    """(B, h, w, M*K) GMM params -> (B, M, S, h*w) quantized frequency
-    rows in LANE LAYOUT: the spatial axis (h*w, a 128-multiple) stays
-    minor through the whole erfc -> quantize pipeline so every elementwise
-    op uses full VPU lanes (the S~33 axis is far too short for the lane
+    """(B, h, w, M*K) GMM params -> (freq (B, M, S, h*w) quantized
+    frequency rows in LANE LAYOUT, center (B, M) int32 grid offsets).
+
+    Lane layout: the spatial axis (h*w, a 128-multiple) stays minor
+    through the whole erfc -> quantize pipeline so every elementwise op
+    uses full VPU lanes (the S~33 axis is far too short for the lane
     dimension — measured 4x slowdown when minor).
+
+    Grid centering: the symbol grid for channel m is [c_m - mm, c_m + mm]
+    with c_m = round(spatial mean of the mixture mean) — computed INSIDE
+    this shared program, so encoder and decoder derive identical centers
+    and nothing is stored.  This makes mm cover the residual spread
+    instead of the raw latent spread (the reference achieves the same
+    with per-image data-derived minmax, newnet1.py:873-906, but that
+    would make shapes dynamic).
 
     The optimization barrier pins the erfc-heavy PMF to ONE materialized
     evaluation — without it XLA may re-fuse (recompute) the producer into
     each downstream reduction, multiplying the transcendental cost.
     """
+    if _use_pallas():
+        # fully fused Mosaic kernel (codecs/pallas_pmf.py): none of the
+        # (B, K, M, S, hw) intermediates touch HBM, and erfc is the A&S
+        # 7.1.26 approximation (self-consistent: both sides run this same
+        # program — see the kernel docstring)
+        from ..codecs.pallas_pmf import gmm_freq_pallas
+        return gmm_freq_pallas(sigma, means, weights, mm, k)
+
     b, h, w, mk = sigma.shape
     m = mk // k
     hw = h * w
@@ -91,14 +126,18 @@ def _gmm_freq_fast(sigma, means, weights, mm: int, k: int):
         wgt = wgt.reshape(b, k, m, 1, 1)
     else:
         wgt = lanes_layout(weights)
+    mix_mean = jnp.sum(mu * wgt, axis=1)              # (B, M, 1, hw)
+    center = jnp.round(jnp.mean(mix_mean, axis=(2, 3)))   # (B, M) f32
     edges = (jnp.arange(-mm, mm + 2, dtype=jnp.float32) - 0.5)
     edges = edges.reshape(1, 1, 1, -1, 1)          # (1,1,1,S+1,1)
+    edges = edges + center.reshape(b, 1, m, 1, 1)
     from ..entropy_models import standardized_cumulative
     cdf = standardized_cumulative((edges - mu) / sc)  # (B,K,M,S+1,hw)
     pmf = cdf[:, :, :, 1:] - cdf[:, :, :, :-1]        # (B,K,M,S,hw)
     pmf = jnp.sum(pmf * wgt, axis=1)                  # (B,M,S,hw)
     freq = quantize_pmf_device(pmf, axis=2)
-    return jax.lax.optimization_barrier(freq)
+    return jax.lax.optimization_barrier(
+        (freq, center.astype(jnp.int32)))
 
 
 def _flatten_cm(y_hat):
@@ -112,46 +151,79 @@ def _unflatten_cm(flat, h, w, m):
     return flat.reshape(b, m, h, w).transpose(0, 2, 3, 1)
 
 
-def _encode_stream(freq, y_hat, mm: int):
+def _encode_stream(freq, y_hat, mm: int, center):
     """Batched interleave encode from lane-layout frequency rows.
 
-    freq: (B, M, S, hw); y_hat: (B, h, w, M) integer latents.
+    freq: (B, M, S, hw); y_hat: (B, h, w, M) integer latents;
+    center: (B, M) int32 per-channel grid offsets (from _gmm_freq_fast).
     Lane mapping: symbol (b, m, pos) -> scan slot m, merged lane b*hw+pos
     (identical stream layout to the flat round-robin mapping when
     lanes == hw).  All intervals come from masked reductions along the S
-    axis — hw stays minor everywhere.
+    axis — hw stays minor everywhere.  Also returns the per-pair count of
+    latents beyond the (centered) grid, for the escape side-channel.
     """
     b, m, s, hw = freq.shape
-    sym = jnp.clip(y_hat, -mm, mm)
-    sym = sym.transpose(0, 3, 1, 2).reshape(b, m, 1, hw) + mm
-    iota = jax.lax.broadcasted_iota(jnp.int32, freq.shape, 2)
-    start = jnp.sum(freq * (iota < sym), axis=2)     # (B, M, hw)
-    frs = jnp.sum(freq * (iota == sym), axis=2)
-    s_grid = start.transpose(1, 0, 2).reshape(m, b * hw).astype(jnp.uint32)
-    f_grid = frs.transpose(1, 0, 2).reshape(m, b * hw).astype(jnp.uint32)
-    valid = jnp.ones((m, b * hw), bool)
-    words, counts, states = rans_encode_grid(s_grid, f_grid, valid)
-    cap = words.shape[1]
-    return (words.reshape(b, hw, cap).astype(jnp.uint16),
-            counts.reshape(b, hw).astype(jnp.int32),
-            states.reshape(b, hw))
+    rel = (y_hat.transpose(0, 3, 1, 2).reshape(b, m, hw)
+           - center[:, :, None])
+    over = jnp.sum(jnp.abs(rel) > mm, axis=(1, 2)).astype(jnp.int32)
+    sym = jnp.clip(rel, -mm, mm) + mm
+    if _use_pallas():
+        # fused Mosaic kernel: interval extraction + rANS transition +
+        # per-lane word compaction all in VMEM; the (B, M, S, hw) freq
+        # tensor is read exactly once and no scatter runs in XLA
+        words, counts, states = rans_encode_grid_pallas(
+            freq, sym.transpose(1, 0, 2))      # words (B, CAP, hw)
+    else:
+        sym4 = sym.reshape(b, m, 1, hw)
+        iota = jax.lax.broadcasted_iota(jnp.int32, freq.shape, 2)
+        start = jnp.sum(freq * (iota < sym4), axis=2)     # (B, M, hw)
+        frs = jnp.sum(freq * (iota == sym4), axis=2)
+        s_grid = start.transpose(1, 0, 2).reshape(
+            m, b * hw).astype(jnp.uint32)
+        f_grid = frs.transpose(1, 0, 2).reshape(
+            m, b * hw).astype(jnp.uint32)
+        valid = jnp.ones((m, b * hw), bool)
+        buf, counts, states = rans_encode_grid(s_grid, f_grid, valid)
+        cap = buf.shape[1]
+        words = buf.reshape(b, hw, cap).transpose(0, 2, 1)
+        counts = counts.reshape(b, hw)
+        states = states.reshape(b, hw)
+    return (words.astype(jnp.uint16),          # (B, CAP, hw)
+            counts.astype(jnp.int32),          # (B, hw)
+            states, over)
 
 
-def _decode_stream(freq, words, counts, states, mm: int, hy: int, wy: int):
+def _decode_stream(freq, words, counts, states, mm: int, hy: int, wy: int,
+                   center=None):
     """Batched interleave decode from lane-layout frequency rows.
 
-    Returns y_hat (B, hy, wy, M) int32.
+    words: (B, C, hw) int32 u16 values (per-lane compacted, cap-major —
+    the layout _encode_stream emits and the container stores).
+    Returns y_hat (B, hy, wy, M) int32 (grid symbols shifted back by the
+    per-channel centers).
     """
     b, m, s, hw = freq.shape
-    rows = freq_to_cdf(freq, axis=2)                 # (B, M, S+1, hw)
-    rows = rows.transpose(1, 2, 0, 3).reshape(m, s + 1, b * hw)
-    valid = jnp.ones((m, b * hw), bool)
-    cap = words.shape[-1]
-    syms = rans_decode_grid(
-        words.astype(jnp.int32).reshape(b * hw, cap),
-        counts.reshape(b * hw), states.reshape(b * hw), rows, valid)
-    syms = syms.reshape(m, b, hw).transpose(1, 0, 2)  # (B, M, hw)
-    return (syms - mm).reshape(b, m, hy, wy).transpose(0, 2, 3, 1)
+    cap = words.shape[1]
+    if _use_pallas():
+        # fused Mosaic kernel: CDF build + symbol search + word pulls in
+        # VMEM; no (B, M, S+1, hw) CDF tensor is ever materialized
+        syms = rans_decode_grid_pallas(
+            freq, words.astype(jnp.int32),
+            counts.reshape(b, hw), states.reshape(b, hw))  # (M, B, hw)
+        syms = syms.transpose(1, 0, 2)                     # (B, M, hw)
+    else:
+        rows = freq_to_cdf(freq, axis=2)             # (B, M, S+1, hw)
+        rows = rows.transpose(1, 2, 0, 3).reshape(m, s + 1, b * hw)
+        valid = jnp.ones((m, b * hw), bool)
+        syms = rans_decode_grid(
+            words.astype(jnp.int32).transpose(0, 2, 1).reshape(
+                b * hw, cap),
+            counts.reshape(b * hw), states.reshape(b * hw), rows, valid)
+        syms = syms.reshape(m, b, hw).transpose(1, 0, 2)  # (B, M, hw)
+    syms = syms - mm
+    if center is not None:
+        syms = syms + center[:, :, None]
+    return syms.reshape(b, m, hy, wy).transpose(0, 2, 3, 1)
 
 
 class HESICFastCodec(HESICCodec):
@@ -187,10 +259,10 @@ class HESICFastCodec(HESICCodec):
         if name == "transforms_enc":
             # images -> latents + integer symbols (encoder side only).
             # y latents are the TRUE rounded integers (unclamped); the
-            # coder clips to the grid and out-of-grid values travel as
-            # sparse corrections (see module docstring).  over1/over2
-            # count per-pair outliers so the host can detect them inside
-            # the stats sync it already pays for.
+            # coder clips to the per-channel grid and out-of-grid values
+            # travel as sparse corrections (see module docstring; the
+            # per-pair outlier counts come back from encode_stream inside
+            # the stats sync the host already pays for).
             @jax.jit
             def fn(params, x1, x2, h):
                 size = (x1.shape[1], x1.shape[2])
@@ -205,14 +277,11 @@ class HESICFastCodec(HESICCodec):
                 med2 = params["entropy_bottleneck2"]["quantiles"][:, 0, 1]
                 z2_sym = jnp.round(z2 - med2).astype(jnp.int32)
                 y2_hat = jnp.round(y2).astype(jnp.int32)
-                over1 = jnp.sum(jnp.abs(y1_hat) > mm, axis=(1, 2, 3))
-                over2 = jnp.sum(jnp.abs(y2_hat) > mm, axis=(1, 2, 3))
                 return (y1_hat, y2_hat, z1_sym, z2_sym,
-                        over1.astype(jnp.int32), over2.astype(jnp.int32),
                         wov.astype(jnp.int32))
 
         elif name == "cond1":
-            # SHARED: z1 symbols -> left-eye frequency rows
+            # SHARED: z1 symbols -> left-eye (frequency rows, centers)
             @jax.jit
             def fn(params, z1_sym):
                 med1 = params["entropy_bottleneck1"]["quantiles"][:, 0, 1]
@@ -223,9 +292,9 @@ class HESICFastCodec(HESICCodec):
 
         elif name == "cond2":
             # SHARED: decoded left latent + z2 symbols -> right-eye
-            # frequency rows and the left reconstruction.  The re-encode
-            # chain (newnet1.py:753-756) uses the MXU warp: both sides run
-            # this same executable, so only determinism matters.
+            # (frequency rows, centers) and the left reconstruction.  The
+            # re-encode chain (newnet1.py:753-756) uses the MXU warp: both
+            # sides run this same executable, so only determinism matters.
             @jax.jit
             def fn(params, y1_hat, z2_sym, h):
                 x1_hat = apply(params, "synthesis1",
@@ -237,29 +306,29 @@ class HESICFastCodec(HESICCodec):
                 med2 = params["entropy_bottleneck2"]["quantiles"][:, 0, 1]
                 z2_hat = z2_sym.astype(jnp.float32) + med2
                 gmm2 = apply(params, "gmm2", z2_hat, y1_prior)
-                freq2 = _gmm_freq_fast(gmm2[0], gmm2[1], gmm2[2], mm,
-                                       module.K)
-                return freq2, x1_hat
+                freq2, c2 = _gmm_freq_fast(gmm2[0], gmm2[1], gmm2[2], mm,
+                                           module.K)
+                return freq2, c2, x1_hat
 
         elif name == "encode_stream":
             @jax.jit
-            def fn(freq, y_hat):
-                return _encode_stream(freq, y_hat, mm)
+            def fn(freq, y_hat, center):
+                return _encode_stream(freq, y_hat, mm, center)
 
         elif name == "decode_stream":
-            def _decode(freq, words, counts, states, y_shape):
+            def _decode(freq, words, counts, states, center, y_shape):
                 hy, wy = y_shape
                 return _decode_stream(freq, words, counts, states, mm,
-                                      hy, wy)
+                                      hy, wy, center)
 
-            fn = jax.jit(_decode, static_argnums=(4,))
+            fn = jax.jit(_decode, static_argnums=(5,))
 
         elif name == "apply_corr":
-            # decoded clamped latents + dense correction map -> true ints
-            # (compiled only when a stream actually contains outliers)
+            # decoded clamped latents + dense (mask, value) outlier map ->
+            # true ints (compiled only when a stream contains outliers)
             @jax.jit
-            def fn(y_hat, corr):
-                return y_hat + corr
+            def fn(y_hat, mask, vals):
+                return jnp.where(mask != 0, vals, y_hat)
 
         elif name == "buf_to_u16":
             @jax.jit
@@ -282,7 +351,8 @@ class HESICFastCodec(HESICCodec):
             def _pack(s1, s2, z1_sym, z2_sym, cap1: int, cap2: int):
                 parts = []
                 for (words, counts, states), cap in ((s1, cap1), (s2, cap2)):
-                    w = jax.lax.dynamic_slice_in_dim(words, 0, cap, axis=2)
+                    # words are (B, CAP, lanes); store cap-major
+                    w = jax.lax.dynamic_slice_in_dim(words, 0, cap, axis=1)
                     parts.extend([
                         counts.astype(jnp.uint16).reshape(-1),
                         jax.lax.bitcast_convert_type(
@@ -385,20 +455,24 @@ class HESICFastCodec(HESICCodec):
 
     # ---- outlier (escape) side-channel ----
 
-    def _collect_outliers(self, y_true_dev, over_counts: np.ndarray):
+    def _collect_outliers(self, y_true_dev, over_counts: np.ndarray,
+                          center_dev):
         """Per-pair sparse (flat_index, true_value) arrays for latents
-        beyond the coder grid.  Zero-cost when over_counts is all zero
-        (the trained-model common case); otherwise one exceptional d2h
-        fetch of the latent tensor."""
+        beyond the (per-channel-centered) coder grid.  Zero-cost when
+        over_counts is all zero (the trained-model common case);
+        otherwise one exceptional d2h fetch of the latent tensor."""
         b = int(over_counts.shape[0])
         if int(over_counts.sum()) == 0:
             empty = (np.zeros(0, np.uint32), np.zeros(0, np.int32))
             return [empty] * b
-        y_np = np.asarray(y_true_dev)
+        y_np = np.asarray(y_true_dev)          # (B, hy, wy, M)
+        c_np = np.asarray(center_dev)          # (B, M)
         outs = []
         for i in range(b):
             flat = y_np[i].reshape(-1)
-            idx = np.flatnonzero(np.abs(flat) > self.mm)
+            c_flat = np.broadcast_to(
+                c_np[i], y_np[i].shape).reshape(-1)
+            idx = np.flatnonzero(np.abs(flat - c_flat) > self.mm)
             outs.append((idx.astype(np.uint32),
                          flat[idx].astype(np.int32)))
         return outs
@@ -426,23 +500,30 @@ class HESICFastCodec(HESICCodec):
         return eyes[0], eyes[1], off
 
     def _corr_map(self, outliers, y_shape):
-        """Dense int32 correction map (true - clamped) or None if no pair
-        has outliers."""
+        """Dense (mask, true-value) int32 maps, or None if no pair has
+        outliers.  Set-semantics (decoder overwrites the clamped decode
+        with the stored true value) so no grid-center knowledge is needed
+        on the host."""
         if all(idx.size == 0 for idx, _ in outliers):
             return None
         b = len(outliers)
         hy, wy = y_shape
         m = self.module.M
-        corr = np.zeros((b, hy * wy * m), np.int32)
+        mask = np.zeros((b, hy * wy * m), np.int32)
+        vals = np.zeros((b, hy * wy * m), np.int32)
         for i, (idx, val) in enumerate(outliers):
             if idx.size:
-                corr[i, idx] = val - np.clip(val, -self.mm, self.mm)
-        return jnp.asarray(corr.reshape(b, hy, wy, m))
+                mask[i, idx] = 1
+                vals[i, idx] = val
+        return (jnp.asarray(mask.reshape(b, hy, wy, m)),
+                jnp.asarray(vals.reshape(b, hy, wy, m)))
 
-    def _decode_y(self, freq, words, counts, states, y_shape, corr):
-        y = self._fn("decode_stream")(freq, words, counts, states, y_shape)
+    def _decode_y(self, freq, words, counts, states, center, y_shape,
+                  corr):
+        y = self._fn("decode_stream")(freq, words, counts, states, center,
+                                      y_shape)
         if corr is not None:
-            y = self._fn("apply_corr")(y, corr)
+            y = self._fn("apply_corr")(y, corr[0], corr[1])
         return y
 
     # ---- container ----
@@ -458,12 +539,12 @@ class HESICFastCodec(HESICCodec):
         if h_matrix.shape[0] != x1.shape[0]:
             h_matrix = jnp.broadcast_to(h_matrix, (x1.shape[0], 3, 3))
 
-        (y1_hat, y2_hat, z1_sym, z2_sym, over1, over2,
+        (y1_hat, y2_hat, z1_sym, z2_sym,
          _wov) = self._fn("transforms_enc")(self.params, x1, x2, h_matrix)
-        freq1 = self._cond1(z1_sym)
-        s1 = self._fn("encode_stream")(freq1, y1_hat)
-        freq2, _ = self._cond2(y1_hat, z2_sym, h_matrix)
-        s2 = self._fn("encode_stream")(freq2, y2_hat)
+        freq1, cen1 = self._cond1(z1_sym)
+        s1 = self._fn("encode_stream")(freq1, y1_hat, cen1)
+        freq2, cen2, _ = self._cond2(y1_hat, z2_sym, h_matrix)
+        s2 = self._fn("encode_stream")(freq2, y2_hat, cen2)
 
         # one sync for the counts (sets the word capacity) + outlier
         # totals, one sync for everything else packed into a single
@@ -471,14 +552,14 @@ class HESICFastCodec(HESICCodec):
         b = x1.shape[0]
         lanes = s1[1].shape[1]  # == y_h * y_w (lane layout)
         counts_both, over_np = jax.device_get(
-            (jnp.stack([s1[1], s2[1]]), jnp.stack([over1, over2])))
+            (jnp.stack([s1[1], s2[1]]), jnp.stack([s1[3], s2[3]])))
         c1, c2 = counts_both[0], counts_both[1]
-        outliers1 = self._collect_outliers(y1_hat, over_np[0])
-        outliers2 = self._collect_outliers(y2_hat, over_np[1])
-        cap1 = min(_bucket_cap(int(c1.max())), s1[0].shape[2])
-        cap2 = min(_bucket_cap(int(c2.max())), s2[0].shape[2])
+        outliers1 = self._collect_outliers(y1_hat, over_np[0], cen1)
+        outliers2 = self._collect_outliers(y2_hat, over_np[1], cen2)
+        cap1 = min(_bucket_cap(int(c1.max())), s1[0].shape[1])
+        cap2 = min(_bucket_cap(int(c2.max())), s2[0].shape[1])
         packed = np.asarray(self._fn("pack_outputs")(
-            s1, s2, z1_sym, z2_sym, cap1, cap2)).view(np.uint16)
+            s1[:3], s2[:3], z1_sym, z2_sym, cap1, cap2)).view(np.uint16)
         off = 0
 
         def take(count, shape):
@@ -490,11 +571,11 @@ class HESICFastCodec(HESICCodec):
         _ = take(b * lanes, (b, lanes))  # counts1 (already fetched)
         st1 = take(2 * b * lanes, (b, lanes, 2)).copy().view(
             np.uint32)[..., 0]
-        w1 = take(b * lanes * cap1, (b, lanes, cap1)).astype(np.int32)
+        w1 = take(b * lanes * cap1, (b, cap1, lanes)).astype(np.int32)
         _ = take(b * lanes, (b, lanes))  # counts2
         st2 = take(2 * b * lanes, (b, lanes, 2)).copy().view(
             np.uint32)[..., 0]
-        w2 = take(b * lanes * cap2, (b, lanes, cap2)).astype(np.int32)
+        w2 = take(b * lanes * cap2, (b, cap2, lanes)).astype(np.int32)
         body_len = off  # u16 elements before the z tail
         z1_np = take(int(np.prod(z1_sym.shape)),
                      z1_sym.shape).astype(np.int32) - 32768
@@ -545,8 +626,8 @@ class HESICFastCodec(HESICCodec):
                 header += np.array([len(s)], np.uint32).tobytes() + s
             header += self._pack_outliers(outliers1[i], outliers2[i])
             header += h_np[i].reshape(-1).astype(np.float32).tobytes()
-            body = pack_stream(w1[i], c1[i], st1[i]) \
-                + pack_stream(w2[i], c2[i], st2[i])
+            body = pack_stream(w1[i].T, c1[i], st1[i]) \
+                + pack_stream(w2[i].T, c2[i], st2[i])
             blobs.append(bytes(header) + body)
 
         total = sum(len(bl) for bl in blobs)
@@ -601,8 +682,8 @@ class HESICFastCodec(HESICCodec):
         buf_dev = self._fn("buf_to_u16")(jnp.asarray(buf.view(np.uint32)))
         z_shape4 = z1_np.shape
         specs = [
-            ((b, lanes), "c"), ((b, lanes), "u"), ((b, lanes, cap1), "w"),
-            ((b, lanes), "c"), ((b, lanes), "u"), ((b, lanes, cap2), "w"),
+            ((b, lanes), "c"), ((b, lanes), "u"), ((b, cap1, lanes), "w"),
+            ((b, lanes), "c"), ((b, lanes), "u"), ((b, cap2, lanes), "w"),
             (z_shape4, "z"), (z_shape4, "z"),
         ]
         unpack = self._unpack_fn(tuple((tuple(s), k) for s, k in specs))
@@ -614,10 +695,12 @@ class HESICFastCodec(HESICCodec):
     def _finish_decode(self, c1d, st1d, w1d, c2d, st2d, w2d, z1_sym,
                        z2_sym, h_matrix, y_shape, start,
                        corr1=None, corr2=None):
-        freq1 = self._cond1(z1_sym)
-        y1_hat = self._decode_y(freq1, w1d, c1d, st1d, y_shape, corr1)
-        freq2, x1_hat = self._cond2(y1_hat, z2_sym, h_matrix)
-        y2_hat = self._decode_y(freq2, w2d, c2d, st2d, y_shape, corr2)
+        freq1, cen1 = self._cond1(z1_sym)
+        y1_hat = self._decode_y(freq1, w1d, c1d, st1d, cen1, y_shape,
+                                corr1)
+        freq2, cen2, x1_hat = self._cond2(y1_hat, z2_sym, h_matrix)
+        y2_hat = self._decode_y(freq2, w2d, c2d, st2d, cen2, y_shape,
+                                corr2)
         x2_hat = self._fn("synthesis2")(self.params, y2_hat, x1_hat,
                                         h_matrix)
         return {
@@ -668,11 +751,13 @@ class HESICFastCodec(HESICCodec):
         corr2 = self._corr_map(out2_list, y_shape)
 
         def stack_streams(parts):
+            # cap-major (B, CAP, lanes): the layout the decode kernel and
+            # the batch container use
             cap = _bucket_cap(max(p[0].shape[1] for p in parts))
-            words = np.zeros((len(parts), parts[0][0].shape[0], cap),
+            words = np.zeros((len(parts), cap, parts[0][0].shape[0]),
                              np.int32)
             for i, (w, _, _) in enumerate(parts):
-                words[i, :, : w.shape[1]] = w
+                words[i, : w.shape[1], :] = w.T
             counts = np.stack([p[1] for p in parts])
             states = np.stack([p[2] for p in parts])
             return words, counts, states
@@ -702,9 +787,9 @@ class HESICFastCodec(HESICCodec):
         z_shape4 = z1_np.shape
         specs = [
             ((b, lanes), "c"), ((b, lanes), "u"),
-            ((b, lanes, w1.shape[2]), "w"),
+            ((b, w1.shape[1], lanes), "w"),
             ((b, lanes), "c"), ((b, lanes), "u"),
-            ((b, lanes, w2.shape[2]), "w"),
+            ((b, w2.shape[1], lanes), "w"),
             (z_shape4, "z"), (z_shape4, "z"),
         ]
         unpack = self._unpack_fn(tuple(

@@ -36,6 +36,15 @@ def main(argv=None):
     p.add_argument("--codec-batch", type=int, default=8)
     args = p.parse_args(argv)
 
+    import os
+    try:
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
     from ..models import HESIC, HESICFastCodec
 
     module = HESIC(N=128, M=192, K=5,
@@ -60,19 +69,20 @@ def main(argv=None):
     report["transforms_enc"] = t
     y1_hat, y2_hat, z1_sym, z2_sym = enc[0], enc[1], enc[2], enc[3]
 
-    t, freq1 = _time(codec._cond1, z1_sym)
+    t, c1out = _time(codec._cond1, z1_sym)
     report["cond1"] = t
-    t, s1 = _time(codec._fn("encode_stream"), freq1, y1_hat)
+    freq1, cen1 = c1out
+    t, s1 = _time(codec._fn("encode_stream"), freq1, y1_hat, cen1)
     report["encode_stream(y1)"] = t
     t, c2out = _time(codec._cond2, y1_hat, z2_sym, h)
     report["cond2"] = t
-    freq2, x1_hat = c2out
-    t, s2 = _time(codec._fn("encode_stream"), freq2, y2_hat)
+    freq2, cen2, x1_hat = c2out
+    t, s2 = _time(codec._fn("encode_stream"), freq2, y2_hat, cen2)
     report["encode_stream(y2)"] = t
 
     y_shape = (hw // 16, hw // 16)
     t, _ = _time(codec._fn("decode_stream"), freq1, s1[0].astype(jnp.int32),
-                 s1[1], s1[2], y_shape)
+                 s1[1], s1[2], cen1, y_shape)
     report["decode_stream(y1)"] = t
     t, _ = _time(codec._fn("synthesis2"), codec.params, y2_hat, x1_hat, h)
     report["synthesis2"] = t
@@ -118,12 +128,29 @@ def main(argv=None):
     report["  cond1/gmm_freq(pmf+quant)"] = t
 
     total = sum(v for k, v in report.items() if not k.startswith("  "))
+
+    # end-to-end container paths (host work + transfers included)
+    out = codec.compress_fast(x1, x2, h, batch_container=True)
+    rec = codec.decompress_fast_batch(out["blob"])
+    jax.block_until_ready(rec["x2_hat"])
+    t0 = time.time()
+    for _ in range(4):
+        out = codec.compress_fast(x1, x2, h, batch_container=True)
+    report["compress_fast e2e"] = t_enc = (time.time() - t0) / 4
+    t0 = time.time()
+    for _ in range(4):
+        rec = codec.decompress_fast_batch(out["blob"])
+        jax.block_until_ready(rec["x2_hat"])
+    report["decompress e2e"] = t_dec = (time.time() - t0) / 4
+
     print(f"\n== fast-codec device timing (size={args.size} batch={b} "
           f"mm={args.mm} bf16={args.bf16} codec_batch={b0}) ==")
     for k, v in report.items():
         print(f"{k:32s} {v * 1e3:8.1f} ms")
     print(f"{'TOTAL (top-level, per rt)':32s} {total * 1e3:8.1f} ms"
           f"  -> {b / total:6.1f} pairs/s device-bound")
+    print(f"{'serial e2e':32s} {b / (t_enc + t_dec):8.2f} pairs/s  "
+          f"bpp={out['bpp_real']:.4f}")
 
 
 if __name__ == "__main__":

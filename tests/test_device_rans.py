@@ -104,3 +104,99 @@ class TestInterleavedRoundTrip:
                                         jnp.asarray(rows_b), 450, 32)
         np.testing.assert_array_equal(np.asarray(out_a), sym_a)
         np.testing.assert_array_equal(np.asarray(out_b), sym_b)
+
+
+class TestPallasKernelEquivalence:
+    """The Mosaic kernels must produce bit-identical streams/symbols to
+    the lax.scan coder (they implement the same integer algorithm).
+    Runs in Pallas interpret mode so it works on the CPU test backend."""
+
+    def _grid_case(self, seed, b, m, s, hw):
+        rng = np.random.RandomState(seed)
+        pmf = rng.dirichlet(np.ones(s) * 0.4,
+                            size=b * m * hw).astype(np.float32)
+        freq = np.asarray(quantize_pmf_device(jnp.asarray(pmf)))
+        freq = freq.reshape(b, m, hw, s).transpose(0, 1, 3, 2)
+        sym = rng.randint(0, s, size=(b, m, hw)).astype(np.int32)
+        return jnp.asarray(freq), jnp.asarray(sym)
+
+    def test_encode_matches_scan(self):
+        from hesic_tpu.codecs.device_rans import rans_encode_grid
+        from hesic_tpu.codecs.pallas_rans import rans_encode_grid_pallas
+        b, m, s, hw = 2, 8, 9, 16
+        freq, sym = self._grid_case(0, b, m, s, hw)
+        words_p, counts_p, states = rans_encode_grid_pallas(
+            freq, sym.transpose(1, 0, 2), interpret=True)
+
+        iota = jnp.arange(s, dtype=jnp.int32).reshape(1, 1, s, 1)
+        sym4 = sym.reshape(b, m, 1, hw)
+        start = jnp.sum(freq * (iota < sym4), axis=2)
+        frs = jnp.sum(freq * (iota == sym4), axis=2)
+        s_grid = start.transpose(1, 0, 2).reshape(m, b * hw)
+        f_grid = frs.transpose(1, 0, 2).reshape(m, b * hw)
+        valid = jnp.ones((m, b * hw), bool)
+        buf_x, counts_x, states_x = rans_encode_grid(
+            s_grid.astype(jnp.uint32), f_grid.astype(jnp.uint32), valid)
+
+        cap = buf_x.shape[1]
+        assert words_p.shape == (b, cap, hw)
+        assert np.array_equal(np.asarray(counts_p).reshape(-1),
+                              np.asarray(counts_x))
+        assert np.array_equal(np.asarray(states).reshape(-1),
+                              np.asarray(states_x))
+        flat_p = np.asarray(words_p).transpose(0, 2, 1).reshape(
+            b * hw, cap)
+        # compare only valid word slots (kernel zero-fills, scan dumps)
+        mask = np.arange(cap) < np.asarray(counts_x)[:, None]
+        assert np.array_equal(flat_p[mask], np.asarray(buf_x)[mask])
+
+    def test_decode_roundtrip(self):
+        from hesic_tpu.codecs.pallas_rans import (rans_decode_grid_pallas,
+                                                  rans_encode_grid_pallas)
+        b, m, s, hw = 2, 8, 9, 16
+        freq, sym = self._grid_case(7, b, m, s, hw)
+        words, counts, states = rans_encode_grid_pallas(
+            freq, sym.transpose(1, 0, 2), interpret=True)
+        dec = rans_decode_grid_pallas(
+            freq, words, counts, states, interpret=True)
+        assert np.array_equal(np.asarray(dec.transpose(1, 0, 2)),
+                              np.asarray(sym))
+
+
+class TestPallasPmfKernel:
+    """The fused PMF kernel must produce VALID frequency rows (sum 2^16,
+    bins >= 1) whose distribution closely tracks the XLA pipeline (erfc
+    differs in the last bits — only self-consistency is required)."""
+
+    def _heads(self, seed, b=2, h=4, w=8, m=8, k=3):
+        rng = np.random.RandomState(seed)
+        sigma = rng.rand(b, h, w, m * k).astype(np.float32) * 2 + 0.05
+        means = rng.randn(b, h, w, m * k).astype(np.float32) * 5
+        weights = rng.rand(b, 1, 1, m * k).astype(np.float32)
+        # normalize over K like softmax_over_mixture would
+        wr = weights.reshape(b, 1, 1, k, m)
+        wr = wr / wr.sum(axis=3, keepdims=True)
+        return (jnp.asarray(sigma), jnp.asarray(means),
+                jnp.asarray(wr.reshape(b, 1, 1, k * m)), m, k)
+
+    def test_rows_valid_and_close_to_xla(self):
+        import os
+        from hesic_tpu.codecs.pallas_pmf import gmm_freq_pallas
+        os.environ["HESIC_NO_PALLAS"] = "1"
+        try:
+            from hesic_tpu.models.hesic_fast import _gmm_freq_fast
+            sigma, means, weights, m, k = self._heads(0)
+            mm = 6
+            freq_p, cen_p = gmm_freq_pallas(sigma, means, weights, mm, k,
+                                            interpret=True)
+            freq_x, cen_x = _gmm_freq_fast(sigma, means, weights, mm, k)
+        finally:
+            del os.environ["HESIC_NO_PALLAS"]
+        fp, fx = np.asarray(freq_p), np.asarray(freq_x)
+        assert fp.shape == fx.shape
+        assert (fp.sum(axis=2) == 65536).all()
+        assert (fp >= 1).all()
+        assert np.array_equal(np.asarray(cen_p), np.asarray(cen_x))
+        # distributions agree to ~erfc-approximation accuracy
+        assert np.abs(fp - fx).max() <= 64
+        assert np.abs(fp - fx).mean() < 2.0

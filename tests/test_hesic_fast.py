@@ -117,7 +117,8 @@ class TestOutlierEscape:
 
     def test_far_outliers_via_correction_channel(self):
         """Correction values arbitrarily far past the grid (mm+50) restore
-        exactly through pack -> parse -> corr_map."""
+        exactly through pack -> parse -> corr_map (set-semantics: the
+        decoder overwrites the clamped decode with the stored value)."""
         codec = self._codec(mm=2)
         hy = wy = 4
         m = codec.module.M
@@ -128,10 +129,12 @@ class TestOutlierEscape:
                                      np.zeros(0, np.int32)))
         o1, o2, off = codec._parse_outliers(blob, 0)
         assert off == len(blob) and o2[0].size == 0
-        corr = codec._corr_map([o1], (hy, wy))
-        clamped = np.clip(val, -codec.mm, codec.mm)
-        restored = np.asarray(corr).reshape(-1)[idx] + clamped
-        np.testing.assert_array_equal(restored, val)
+        mask, vals = codec._corr_map([o1], (hy, wy))
+        assert np.array_equal(np.asarray(mask).reshape(-1)[idx],
+                              np.ones(3, np.int32))
+        assert np.asarray(mask).sum() == 3
+        np.testing.assert_array_equal(
+            np.asarray(vals).reshape(-1)[idx], val)
 
 
 class TestBatchedFast:

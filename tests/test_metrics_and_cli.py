@@ -136,3 +136,23 @@ class TestBenchCodecs:
         q, val, res = find_closest(JPEG(), src, 2.0, "bpp")
         assert JPEG.quality_range[0] <= q <= JPEG.quality_range[1]
         assert "psnr-rgb" in res
+
+
+class TestEvalHomographyCLI:
+    def test_smoke_fresh_init(self, tmp_path, capsys):
+        from hesic_tpu.utils import eval_homography
+        rng = np.random.RandomState(0)
+        for eye in ("left", "right"):
+            d = tmp_path / "data" / "test" / eye
+            d.mkdir(parents=True)
+            for i in range(2):
+                arr = (rng.rand(96, 96, 3) * 255).astype(np.uint8)
+                Image.fromarray(arr).save(d / f"{i:02d}.png")
+        figs = tmp_path / "figs"
+        eval_homography.main([
+            str(tmp_path / "data"), "--n", "1", "--timing-reps", "1",
+            "--figures", str(figs)])
+        out = capsys.readouterr().out
+        assert "MACE" in out and "params:" in out
+        assert (figs / "input_0.gif").exists()
+        assert (figs / "output_patch0.gif").exists()
