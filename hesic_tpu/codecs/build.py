@@ -31,11 +31,19 @@ def _needs_build() -> bool:
 
 
 def build(force: bool = False) -> str:
-    """Compile the shared library if needed and return its path."""
+    """Compile the shared library if needed and return its path.
+
+    HESIC_DEBUG=1 builds a debug library (-O0 -g -DHESIC_DEBUG) with CDF
+    validation in the coder entry points — the reference's DEBUG_BUILD
+    equivalent (setup.py:47-50 / rans_interface.cpp assert_cdfs).
+    """
+    debug = os.environ.get("HESIC_DEBUG", "") == "1"
+    base = (["-O0", "-g", "-DHESIC_DEBUG", "-std=c++17", "-shared",
+             "-fPIC", "-Wall"] if debug else _CXX_FLAGS)
     if force or _needs_build():
         cxx = os.environ.get("CXX", "g++")
         for arch in (_ARCH_FLAGS, []):
-            cmd = [cxx, *_CXX_FLAGS, *arch, SRC, "-o", LIB + ".tmp"]
+            cmd = [cxx, *base, *arch, SRC, "-o", LIB + ".tmp"]
             try:
                 subprocess.run(cmd, check=True, capture_output=True,
                                text=True)

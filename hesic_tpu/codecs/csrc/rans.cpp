@@ -396,6 +396,27 @@ int hesic_pmf_to_quantized_cdf_batch(const float* pmfs,
 
 // ---- rANS, indexed API (tabled CDFs shared across symbols) ----
 
+// Debug-build CDF validation (reference: rans_interface.cpp assert_cdfs
+// under DEBUG_BUILD, setup.py:47-50).  Enabled when the library is built
+// with -DHESIC_DEBUG (HESIC_DEBUG=1 env at first import, see build.py):
+// every table row must start at 0, end at 2^16, and be non-decreasing.
+static bool cdfs_valid(const int32_t* cdfs, int32_t cdf_stride,
+                       const int32_t* cdf_sizes, int32_t ncdfs) {
+#ifdef HESIC_DEBUG
+  for (int32_t i = 0; i < ncdfs; ++i) {
+    const int32_t* cdf = cdfs + static_cast<size_t>(i) * cdf_stride;
+    const int32_t len = cdf_sizes[i];
+    if (len < 2 || len > cdf_stride) return false;
+    if (cdf[0] != 0 || cdf[len - 1] != (1 << kProbBits)) return false;
+    for (int32_t j = 1; j < len; ++j)
+      if (cdf[j] < cdf[j - 1]) return false;
+  }
+#else
+  (void)cdfs; (void)cdf_stride; (void)cdf_sizes; (void)ncdfs;
+#endif
+  return true;
+}
+
 // symbols/indexes: [n] int32.  cdfs: [ncdfs, cdf_stride] int32 row-major;
 // cdf_sizes/offsets: [ncdfs].  Returns encoded byte count, or negative
 // required capacity if out_cap is too small.
@@ -405,6 +426,7 @@ int64_t hesic_rans_encode_with_indexes(const int32_t* symbols,
                                        const int32_t* cdf_sizes,
                                        const int32_t* offsets, int32_t ncdfs,
                                        uint8_t* out, int64_t out_cap) {
+  if (!cdfs_valid(cdfs, cdf_stride, cdf_sizes, ncdfs)) return -3;
   std::vector<Buffered> buf;
   buf.reserve(static_cast<size_t>(n) + 16);
   for (int64_t i = 0; i < n; ++i) {
@@ -423,6 +445,7 @@ int64_t hesic_rans_decode_with_indexes(const uint8_t* data, int64_t nbytes,
                                        const int32_t* offsets, int32_t ncdfs,
                                        int32_t* out) {
   if (nbytes < 8 || (nbytes % 4) != 0) return -1;
+  if (!cdfs_valid(cdfs, cdf_stride, cdf_sizes, ncdfs)) return -3;
   RansState rans;
   WordSource src{reinterpret_cast<const uint32_t*>(data),
                  reinterpret_cast<const uint32_t*>(data + nbytes)};

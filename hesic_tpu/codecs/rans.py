@@ -171,6 +171,9 @@ class RansEncoder:
             _i32p(sizes), _i32p(offs), table.shape[0], _u8p(out), cap)
         if n == -1:
             raise ValueError("encode failed: index out of range")
+        if n == -3:
+            raise ValueError("encode failed: invalid CDF table "
+                             "(HESIC_DEBUG validation)")
         if n < 0:
             out = np.empty(-n, dtype=np.uint8)
             n = _lib.hesic_rans_encode_with_indexes(
