@@ -152,15 +152,18 @@ def main():
     from hesic_tpu.models import HESIC, HESICFastCodec
 
     hw = int(os.environ.get("BENCH_SIZE", "512"))
-    batch = int(os.environ.get("BENCH_BATCH", "16"))
+    batch = int(os.environ.get("BENCH_BATCH", "32"))
     n_batches = int(os.environ.get("BENCH_BATCHES", "6"))
     calib_steps = int(os.environ.get("BENCH_CALIB_STEPS", "60"))
     rng = np.random.RandomState(0)
 
-    # mm=32 matches the codec default (MM_DEFAULT); with per-channel grid
-    # centering the grid covers residual spread, and out-of-grid latents
-    # escape-code exactly, so this is the defensible serving setting
-    mm = int(os.environ.get("BENCH_MM", "32"))
+    # Grid width: with per-channel centering the width is measured
+    # rate-neutral on the calibrated bench model (tools/compare_mm.py:
+    # bpp_real identical at mm=8/16/32, zero escape corrections), and
+    # out-of-grid latents always escape-code exactly — so mm=16 is the
+    # demonstrated-RD-safe fast setting.  mm=32 (the codec default,
+    # wider safety margin) measures ~52 vs ~63 pairs/s at batch 32.
+    mm = int(os.environ.get("BENCH_MM", "16"))
     use_bf16 = os.environ.get("BENCH_BF16", "1") == "1"
     module = HESIC(N=128, M=192, K=5,
                    dtype=jnp.bfloat16 if use_bf16 else None)

@@ -25,6 +25,9 @@ def main():
     p.add_argument("--mm", type=int, default=32)
     p.add_argument("--batch", type=int, default=4)
     p.add_argument("--hw", type=int, default=256)
+    p.add_argument("--escape-mm", type=int, default=2,
+                   help="second pass at a tiny grid so escape corrections "
+                        "are guaranteed to trigger on-chip (0 disables)")
     args = p.parse_args()
 
     print(f"backend: {jax.default_backend()}")
@@ -53,25 +56,39 @@ def main():
                 + (np.abs(y2_true) > args.mm).sum())
     print(f"latents beyond grid: {n_out}")
 
-    for mode in ("batch", "per-pair"):
-        out = codec.compress_fast(x1, x2, h,
-                                  batch_container=(mode == "batch"))
-        if mode == "batch":
-            rec = codec.decompress_fast_batch(out["blob"])
-        else:
-            rec = codec.decompress_fast(out["blobs"])
-        y1_dec = np.asarray(rec["y1_hat"]).astype(np.int64)
-        y2_dec = np.asarray(rec["y2_hat"]).astype(np.int64)
-        ok1 = np.array_equal(y1_dec, y1_true)
-        ok2 = np.array_equal(y2_dec, y2_true)
-        print(f"{mode}: y1 exact={ok1}  y2 exact={ok2}  "
-              f"bpp={out['bpp_real']:.4f}")
-        if not (ok1 and ok2):
-            bad = np.argwhere(y1_dec != y1_true)[:5]
-            print("first y1 mismatches:", bad,
-                  y1_dec[tuple(bad[0])] if bad.size else "",
-                  y1_true[tuple(bad[0])] if bad.size else "")
-            sys.exit(1)
+    def run(codec_, label):
+        for mode in ("batch", "per-pair"):
+            out = codec_.compress_fast(x1, x2, h,
+                                       batch_container=(mode == "batch"))
+            if mode == "batch":
+                rec = codec_.decompress_fast_batch(out["blob"])
+            else:
+                rec = codec_.decompress_fast(out["blobs"])
+            y1_dec = np.asarray(rec["y1_hat"]).astype(np.int64)
+            y2_dec = np.asarray(rec["y2_hat"]).astype(np.int64)
+            ok1 = np.array_equal(y1_dec, y1_true)
+            ok2 = np.array_equal(y2_dec, y2_true)
+            print(f"{label}/{mode}: y1 exact={ok1}  y2 exact={ok2}  "
+                  f"bpp={out['bpp_real']:.4f}")
+            if not (ok1 and ok2):
+                bad = np.argwhere(y1_dec != y1_true)[:5]
+                print("first y1 mismatches:", bad,
+                      y1_dec[tuple(bad[0])] if bad.size else "",
+                      y1_true[tuple(bad[0])] if bad.size else "")
+                sys.exit(1)
+
+    run(codec, f"mm={args.mm}")
+    if args.escape_mm:
+        tiny = HESICFastCodec(codec.module, codec.params,
+                              mm=args.escape_mm, codec_batch=args.batch)
+        tiny.update()
+        # verify corrections actually trigger at this grid width
+        _, cen1 = tiny._cond1(enc[2])
+        rel = y1_true - np.asarray(cen1)[:, None, None, :]
+        n_esc = int((np.abs(rel) > args.escape_mm).sum())
+        print(f"escape pass mm={args.escape_mm}: {n_esc} corrections")
+        assert n_esc > 0, "escape pass did not trigger any corrections"
+        run(tiny, f"mm={args.escape_mm}")
     print("ROUNDTRIP OK")
 
 
