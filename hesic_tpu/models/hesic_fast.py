@@ -576,7 +576,6 @@ class HESICFastCodec(HESICCodec):
         st2 = take(2 * b * lanes, (b, lanes, 2)).copy().view(
             np.uint32)[..., 0]
         w2 = take(b * lanes * cap2, (b, cap2, lanes)).astype(np.int32)
-        body_len = off  # u16 elements before the z tail
         z1_np = take(int(np.prod(z1_sym.shape)),
                      z1_sym.shape).astype(np.int32) - 32768
         z2_np = take(int(np.prod(z2_sym.shape)),
@@ -593,22 +592,34 @@ class HESICFastCodec(HESICCodec):
         num_pixels = 2 * x1.shape[1] * x1.shape[2]
 
         if batch_container:
-            # one blob for the whole batch: the device-packed stream body
-            # is stored verbatim (u16), so decode needs no per-pair
-            # restacking.  Word buffers are bucket-padded -> slightly
-            # larger than the per-pair container; this is the
-            # throughput-serving format.
-            body = packed[:body_len]
+            # one blob for the whole batch.  The word buffers cross the
+            # device link bucket-padded (one packed d2h), but the
+            # CONTAINER stores only each lane's exact `count` words — the
+            # padding measured ~3 bpp on the untrained checker, and the
+            # host mask is a few ms.  Layout: u32 header | z strings |
+            # outliers | homographies | per stream (counts u16, states
+            # u32, flat words u16 in (pair, lane) order).
+            def flat_words(w, c):
+                # w: (b, cap, lanes) -> valid words per (pair, lane)
+                wl = np.ascontiguousarray(w.transpose(0, 2, 1))
+                mask = np.arange(w.shape[1])[None, None, :] < c[:, :, None]
+                return wl[mask].astype(np.uint16)
+
             header = bytearray()
-            header += np.array([x1.shape[1], x1.shape[2], b, lanes,
-                                cap1, cap2], np.uint32).tobytes()
+            header += np.array([x1.shape[1], x1.shape[2], b, lanes],
+                               np.uint32).tobytes()
             for z1_str, z2_str in z_strs:
                 for s in (z1_str, z2_str):
                     header += np.array([len(s)], np.uint32).tobytes() + s
             for i in range(b):
                 header += self._pack_outliers(outliers1[i], outliers2[i])
             header += h_np.reshape(-1).astype(np.float32).tobytes()
-            blob = bytes(header) + body.tobytes()
+            body = bytearray()
+            for w, c, st in ((w1, c1, st1), (w2, c2, st2)):
+                body += c.astype(np.uint16).tobytes()
+                body += st.astype(np.uint32).tobytes()
+                body += flat_words(w, c).tobytes()
+            blob = bytes(header) + bytes(body)
             return {
                 "blobs": [blob],
                 "blob": blob,
@@ -640,12 +651,13 @@ class HESICFastCodec(HESICCodec):
 
     def decompress_fast_batch(self, blob: bytes):
         """Decode a batch-container blob (compress_fast(batch_container=
-        True)).  The stored body IS the device pack layout, so the host
-        only decodes the z strings and appends them — no restacking."""
+        True)).  The host rebuilds the bucket-padded word buffers from the
+        exact per-lane counts (one masked scatter), decodes the z strings,
+        and ships everything in one h2d transfer."""
         start = time.time()
-        hdr = np.frombuffer(blob, np.uint32, 6, 0)
-        h_img, w_img, b, lanes, cap1, cap2 = (int(v) for v in hdr)
-        off = 24
+        hdr = np.frombuffer(blob, np.uint32, 4, 0)
+        h_img, w_img, b, lanes = (int(v) for v in hdr)
+        off = 16
         y_shape = (h_img // 16, w_img // 16)
         z_shape = (y_shape[0] // 4, y_shape[1] // 4)
         z1_list, z2_list = [], []
@@ -668,13 +680,34 @@ class HESICFastCodec(HESICCodec):
         h_matrix = jnp.asarray(
             np.frombuffer(blob, np.float32, 9 * b, off).reshape(b, 3, 3))
         off += 36 * b
-        body_len = (2 * (b * lanes) + 2 * (2 * b * lanes)
-                    + b * lanes * (cap1 + cap2))
-        body = np.frombuffer(blob, np.uint16, body_len, off)
+
+        def read_stream(off):
+            c = np.frombuffer(blob, np.uint16, b * lanes,
+                              off).astype(np.int32).reshape(b, lanes)
+            off += 2 * b * lanes
+            st = np.frombuffer(blob, np.uint32, b * lanes,
+                               off).reshape(b, lanes).copy()
+            off += 4 * b * lanes
+            total = int(c.sum())
+            flat = np.frombuffer(blob, np.uint16, total, off)
+            off += 2 * total
+            cap = _bucket_cap(int(c.max()))
+            wl = np.zeros((b, lanes, cap), np.uint16)
+            wl[np.arange(cap)[None, None, :] < c[:, :, None]] = flat
+            return np.ascontiguousarray(
+                wl.transpose(0, 2, 1)).astype(np.int32), c, st, off
+
+        w1, c1, st1, off = read_stream(off)
+        w2, c2, st2, off = read_stream(off)
         z1_np = np.stack(z1_list)
         z2_np = np.stack(z2_list)
         buf = np.concatenate([
-            body,
+            c1.astype(np.uint16).reshape(-1),
+            st1.view(np.uint16).reshape(-1),
+            w1.astype(np.uint16).reshape(-1),
+            c2.astype(np.uint16).reshape(-1),
+            st2.view(np.uint16).reshape(-1),
+            w2.astype(np.uint16).reshape(-1),
             (z1_np + 32768).astype(np.uint16).reshape(-1),
             (z2_np + 32768).astype(np.uint16).reshape(-1)])
         if buf.size % 2:
@@ -682,8 +715,10 @@ class HESICFastCodec(HESICCodec):
         buf_dev = self._fn("buf_to_u16")(jnp.asarray(buf.view(np.uint32)))
         z_shape4 = z1_np.shape
         specs = [
-            ((b, lanes), "c"), ((b, lanes), "u"), ((b, cap1, lanes), "w"),
-            ((b, lanes), "c"), ((b, lanes), "u"), ((b, cap2, lanes), "w"),
+            ((b, lanes), "c"), ((b, lanes), "u"),
+            ((b, w1.shape[1], lanes), "w"),
+            ((b, lanes), "c"), ((b, lanes), "u"),
+            ((b, w2.shape[1], lanes), "w"),
             (z_shape4, "z"), (z_shape4, "z"),
         ]
         unpack = self._unpack_fn(tuple((tuple(s), k) for s, k in specs))

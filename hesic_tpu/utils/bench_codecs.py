@@ -313,8 +313,52 @@ class HM(_ReferenceSoftware):
     quality_range = (0, 51)
 
 
+class TFCI(BinaryCodec):
+    """tensorflow/compression `tfci.py` models (reference
+    codecs.py:401-457).  Model + script path via env:
+    $TFCI_PATH = tfci.py location, $TFCI_MODEL in
+    {bmshj2018-factorized-mse, bmshj2018-hyperprior-mse,
+    mbt2018-mean-mse} (quality 1-8 appended like the reference)."""
+
+    quality_range = (1, 8)
+    _models = ("bmshj2018-factorized-mse", "bmshj2018-hyperprior-mse",
+               "mbt2018-mean-mse")
+
+    def available(self) -> bool:
+        return os.path.isfile(os.environ.get("TFCI_PATH", ""))
+
+    def run(self, path: str, quality: int) -> dict:  # pragma: no cover
+        # (exercised only where tensorflow-compression is installed)
+        import sys
+        import tempfile
+        if not 1 <= quality <= 8:
+            raise ValueError(f"invalid TFCI quality: {quality}")
+        script = os.environ["TFCI_PATH"]
+        model = os.environ.get("TFCI_MODEL", self._models[0])
+        img = np.asarray(Image.open(path).convert("RGB"), np.float32) / 255.0
+        with tempfile.TemporaryDirectory() as td:
+            out_tfci = os.path.join(td, "out.tfci")
+            out_png = out_tfci + ".png"
+            t0 = time.time()
+            self._run([sys.executable, script, "compress",
+                       f"{model}-{quality:d}", path, out_tfci])
+            enc_t = time.time() - t0
+            t0 = time.time()
+            self._run([sys.executable, script, "decompress", out_tfci,
+                       out_png])
+            dec_t = time.time() - t0
+            rec = np.asarray(Image.open(out_png).convert("RGB"),
+                             np.float32) / 255.0
+            size = os.path.getsize(out_tfci)
+        num_pixels = img.shape[0] * img.shape[1]
+        out = compute_metrics(img, rec)
+        out.update({"bpp": size * 8 / num_pixels, "encoding_time": enc_t,
+                    "decoding_time": dec_t})
+        return out
+
+
 CODECS = {"jpeg": JPEG, "jpeg2000": JPEG2000, "webp": WebP, "bpg": BPG,
-          "hevc": HEVC, "av1": AV1, "vtm": VTM, "hm": HM}
+          "hevc": HEVC, "av1": AV1, "vtm": VTM, "hm": HM, "tfci": TFCI}
 
 
 def _worker(task):

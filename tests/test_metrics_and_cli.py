@@ -156,3 +156,11 @@ class TestEvalHomographyCLI:
         assert "MACE" in out and "params:" in out
         assert (figs / "input_0.gif").exists()
         assert (figs / "output_patch0.gif").exists()
+
+
+class TestTFCIWrapper:
+    def test_gates_on_script(self):
+        from hesic_tpu.utils.bench_codecs import TFCI
+        codec = TFCI()
+        assert not codec.available()  # tensorflow-compression not installed
+        assert TFCI.quality_range == (1, 8)
