@@ -23,7 +23,8 @@ lint:
 	$(PY) -m compileall -q hesic_tpu tests bench.py __graft_entry__.py
 
 docs:
-	@echo "docs are markdown: README.md + module docstrings"
+	@echo "markdown docs: docs/index.md (+ README.md, module docstrings)"
+	@ls docs/*.md
 
 clean:
 	rm -f hesic_tpu/codecs/librans_tpu.so

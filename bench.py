@@ -152,7 +152,9 @@ def main():
     from hesic_tpu.models import HESIC, HESICFastCodec
 
     hw = int(os.environ.get("BENCH_SIZE", "512"))
-    batch = int(os.environ.get("BENCH_BATCH", "32"))
+    # batch 64 is the measured sweet spot on v5e (59.6 @32, 64.8 @64,
+    # OOM @128 at 512² with mm=16)
+    batch = int(os.environ.get("BENCH_BATCH", "64"))
     n_batches = int(os.environ.get("BENCH_BATCHES", "6"))
     calib_steps = int(os.environ.get("BENCH_CALIB_STEPS", "60"))
     rng = np.random.RandomState(0)

@@ -48,6 +48,29 @@ def plot_rd(results, metric="psnr", title="RD curves", output=None,
     return fig
 
 
+def plot_rd_plotly(results, metric="psnr", title="RD curves",
+                   output=None):
+    """Interactive backend (reference --backend=plotly,
+    utils/plot/__main__.py); writes an HTML file."""
+    try:
+        import plotly.graph_objects as go
+    except ImportError as e:  # pragma: no cover - plotly optional
+        raise SystemExit(
+            "plotly backend requested but plotly is not installed") from e
+    fig = go.Figure()
+    for res in results:
+        r = res["results"]
+        bpp = r["bpp"] if isinstance(r["bpp"], list) else [r["bpp"]]
+        vals = r[metric] if isinstance(r[metric], list) else [r[metric]]
+        order = sorted(range(len(bpp)), key=lambda i: bpp[i])
+        fig.add_trace(go.Scatter(
+            x=[bpp[i] for i in order], y=[vals[i] for i in order],
+            mode="lines+markers", name=res.get("name", "?")))
+    fig.update_layout(title=title, xaxis_title="bpp", yaxis_title=metric)
+    fig.write_html(output or "rd_curves.html")
+    return fig
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("results", nargs="+", help="result JSON files")
@@ -55,9 +78,14 @@ def main(argv=None):
     parser.add_argument("--title", default="RD curves")
     parser.add_argument("--output", default=None)
     parser.add_argument("--show", action="store_true")
+    parser.add_argument("--backend", choices=("matplotlib", "plotly"),
+                        default="matplotlib")
     args = parser.parse_args(argv)
     results = load_results(args.results)
-    plot_rd(results, args.metric, args.title, args.output, args.show)
+    if args.backend == "plotly":
+        plot_rd_plotly(results, args.metric, args.title, args.output)
+    else:
+        plot_rd(results, args.metric, args.title, args.output, args.show)
     return 0
 
 

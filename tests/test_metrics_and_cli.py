@@ -164,3 +164,13 @@ class TestTFCIWrapper:
         codec = TFCI()
         assert not codec.available()  # tensorflow-compression not installed
         assert TFCI.quality_range == (1, 8)
+
+
+class TestPlotBackends:
+    def test_plotly_backend_gates_gracefully(self, tmp_path):
+        from hesic_tpu.utils import plot
+        res = tmp_path / "r.json"
+        res.write_text(json.dumps(
+            {"name": "jpeg", "results": {"bpp": [0.2], "psnr": [30.0]}}))
+        with pytest.raises(SystemExit):
+            plot.main([str(res), "--backend", "plotly"])
