@@ -10,6 +10,7 @@ from .hesic_plus import (HESICPlus, HESICPlusCodec,
 from .dsic import (DSIC, DSICPlus, IndependentEnhancementNoWarp, CostVolume,
                    GlobalContext, dense_warp)
 from .dsic_codec import DSICCodec, DSICPlusCodec
+from .dsic_fast import DSICFastCodec
 from .priors import (FactorizedPrior, JointAutoregressiveHierarchicalPriors,
                      MeanScaleHyperprior, ScaleHyperprior)
 from .waseda import Cheng2020Anchor, Cheng2020Attention
@@ -38,6 +39,7 @@ __all__ = [
     "HESICPlusTogetherCodec",
     "DSIC",
     "DSICCodec",
+    "DSICFastCodec",
     "DSICPlus",
     "DSICPlusCodec",
     "IndependentEnhancementNoWarp",

@@ -336,13 +336,18 @@ class HESICFastCodec(HESICCodec):
                 return jax.lax.bitcast_convert_type(
                     buf_u32, jnp.uint16).reshape(-1)
 
-        elif name == "synthesis2":
+        elif name == "synth_out":
+            # final reconstructions from the decoded latents.  `aux` is
+            # whatever cond2 passed through (HESIC: x1_hat; subclasses
+            # may pass other conditioning, e.g. DSIC passes y1_hat).
             @jax.jit
-            def fn(params, y2_hat, x1_hat, h):
+            def fn(params, aux, y2_hat, h):
+                x1_hat = aux
                 size = (x1_hat.shape[1], x1_hat.shape[2])
                 x1_hat_warp, _ = warp_perspective_mxu(x1_hat, h, size)
-                return apply(params, "synthesis2",
-                             y2_hat.astype(jnp.float32), x1_hat_warp)
+                x2_hat = apply(params, "synthesis2",
+                               y2_hat.astype(jnp.float32), x1_hat_warp)
+                return x1_hat, x2_hat
 
         elif name == "pack_outputs":
             # bundle every encoder output into ONE uint16 vector so the
@@ -733,11 +738,11 @@ class HESICFastCodec(HESICCodec):
         freq1, cen1 = self._cond1(z1_sym)
         y1_hat = self._decode_y(freq1, w1d, c1d, st1d, cen1, y_shape,
                                 corr1)
-        freq2, cen2, x1_hat = self._cond2(y1_hat, z2_sym, h_matrix)
+        freq2, cen2, aux = self._cond2(y1_hat, z2_sym, h_matrix)
         y2_hat = self._decode_y(freq2, w2d, c2d, st2d, cen2, y_shape,
                                 corr2)
-        x2_hat = self._fn("synthesis2")(self.params, y2_hat, x1_hat,
-                                        h_matrix)
+        x1_hat, x2_hat = self._fn("synth_out")(self.params, aux, y2_hat,
+                                               h_matrix)
         return {
             "x1_hat": x1_hat,
             "x2_hat": x2_hat,

@@ -84,8 +84,8 @@ def main(argv=None):
     t, _ = _time(codec._fn("decode_stream"), freq1, s1[0].astype(jnp.int32),
                  s1[1], s1[2], cen1, y_shape)
     report["decode_stream(y1)"] = t
-    t, _ = _time(codec._fn("synthesis2"), codec.params, y2_hat, x1_hat, h)
-    report["synthesis2"] = t
+    t, _ = _time(codec._fn("synth_out"), codec.params, x1_hat, y2_hat, h)
+    report["synth_out"] = t
 
     # cond2 internals at the canonical batch
     b0 = args.codec_batch

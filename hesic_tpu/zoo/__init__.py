@@ -11,7 +11,7 @@ from __future__ import annotations
 
 from typing import Optional
 
-from ..models import (DSIC, HESIC, Cheng2020Anchor, Cheng2020Attention,
+from ..models import (DSIC, DSICFastCodec, HESIC, Cheng2020Anchor, Cheng2020Attention,
                       DSICCodec, DSICPlus, DSICPlusCodec, FactorizedPrior,
                       FactorizedPriorCodec, HESICCodec, HESICFastCodec,
                       HESICPlus, HESICPlusCodec, HESICPlusTogether,
@@ -34,7 +34,7 @@ model_architectures = {
     "hesic-together": (HESICTogether, HESICTogetherCodec),
     "hesic-plus": (HESICPlus, HESICPlusCodec),
     "hesic-plus-together": (HESICPlusTogether, HESICPlusTogetherCodec),
-    "dsic": (DSIC, DSICCodec),
+    "dsic": (DSIC, DSICFastCodec),
     "dsic-plus": (DSICPlus, DSICPlusCodec),
 }
 

@@ -79,3 +79,48 @@ class TestDSICContainer:
                                       np.asarray(out["y2_hat"]))
         assert rec["x1_hat"].shape == x1.shape
         assert rec["x2_hat"].shape == x2.shape
+
+
+class TestDSICFastCodec:
+    def test_fast_roundtrip_matches_latents(self):
+        import numpy as np
+        from hesic_tpu.models import DSIC, DSICFastCodec
+        rng = np.random.RandomState(3)
+        hw, b = 64, 2
+        x1 = jnp.asarray(rng.rand(b, hw, hw, 3), jnp.float32)
+        x2 = jnp.asarray(rng.rand(b, hw, hw, 3), jnp.float32)
+        module = DSIC(N=16, M=24, F=6, C=4, K=2)
+        codec = DSICFastCodec.init(module, [(1, hw, hw, 3), (1, hw, hw, 3)])
+        codec = DSICFastCodec(codec.module, codec.params, mm=8,
+                              codec_batch=b)
+        codec.update()
+        out = codec.compress_fast(x1, x2, batch_container=True)
+        rec = codec.decompress_fast_batch(out["blob"])
+        enc = codec._fn("transforms_enc")(
+            codec.params, x1, x2,
+            jnp.tile(jnp.eye(3, dtype=jnp.float32)[None], (b, 1, 1)))
+        np.testing.assert_array_equal(
+            np.asarray(rec["y1_hat"]).astype(np.int64), np.asarray(enc[0]))
+        np.testing.assert_array_equal(
+            np.asarray(rec["y2_hat"]).astype(np.int64), np.asarray(enc[1]))
+        assert 0 < out["bpp_real"] < 40
+        # per-pair container too
+        out2 = codec.compress_fast(x1, x2)
+        rec2 = codec.decompress_fast(out2["blobs"])
+        np.testing.assert_array_equal(
+            np.asarray(rec2["y2_hat"]), np.asarray(rec["y2_hat"]))
+
+    def test_reference_container_still_works(self, tmp_path):
+        import numpy as np
+        from hesic_tpu.models import DSIC, DSICFastCodec
+        rng = np.random.RandomState(4)
+        hw = 64
+        x1 = jnp.asarray(rng.rand(1, hw, hw, 3), jnp.float32)
+        x2 = jnp.asarray(rng.rand(1, hw, hw, 3), jnp.float32)
+        module = DSIC(N=16, M=24, F=6, C=4, K=2)
+        codec = DSICFastCodec.init(module, [(1, hw, hw, 3), (1, hw, hw, 3)])
+        codec.update()
+        out = codec.compress(x1, x2, "t", str(tmp_path))
+        rec = codec.decompress("t", str(tmp_path))
+        np.testing.assert_array_equal(np.asarray(rec["y1_hat"]),
+                                      np.asarray(out["y1_hat"]))
