@@ -146,6 +146,136 @@ def bench_ar():
     }))
 
 
+def bench_ar_device():
+    """Secondary mode (BENCH_MODE=ar-device): the wavefront device AR
+    codec (models/ar_device.py) on mbt2018 — the reference's '#1 perf
+    cliff' restructured as a TPU scan (vs ~1 image/s for the host-serial
+    native coder on this container's single core)."""
+    import jax
+    import jax.numpy as jnp
+    from hesic_tpu.models import (JointAutoregressiveCodec,
+                                  JointAutoregressiveDeviceCodec,
+                                  JointAutoregressiveHierarchicalPriors)
+
+    hw = int(os.environ.get("BENCH_SIZE", "512"))
+    batch = int(os.environ.get("BENCH_BATCH", "8"))
+    n_batches = int(os.environ.get("BENCH_BATCHES", "4"))
+    mm = int(os.environ.get("BENCH_MM", "16"))
+    groups = int(os.environ.get("BENCH_GROUPS", "8"))
+    rng = np.random.RandomState(0)
+
+    module = JointAutoregressiveHierarchicalPriors(N=192, M=192)
+    base = JointAutoregressiveCodec.init(module, [(1, hw, hw, 3)])
+    base.update()
+    codec = JointAutoregressiveDeviceCodec(base, mm=mm, groups=groups)
+
+    xs = [_smooth_pair(rng, hw)[0] for _ in range(batch)]
+    x = jnp.asarray(np.concatenate(xs))
+    out = codec.compress(x)  # warmup/compile
+    rec = codec.decompress(out["strings"])
+    np.testing.assert_array_equal(np.asarray(rec["y_hat"]),
+                                  np.asarray(out["y_hat"]))
+    jax.block_until_ready(rec["x_hat"])
+
+    start = time.time()
+    for _ in range(n_batches):
+        out = codec.compress(x)
+        rec = codec.decompress(out["strings"])
+    jax.block_until_ready(rec["x_hat"])
+    elapsed = time.time() - start
+    images_per_sec = n_batches * batch / elapsed
+
+    print(json.dumps({
+        "metric": f"mbt2018_device_images_per_sec_{hw}px_encdec",
+        "value": round(images_per_sec, 3),
+        "unit": "images/s/chip",
+        "vs_baseline": round(images_per_sec / BASELINE_PAIRS_PER_SEC, 3),
+    }))
+
+
+def bench_dsic():
+    """Secondary mode (BENCH_MODE=dsic): the DSIC fast codec (cost-volume
+    stereo family) through the same on-device coding pipeline."""
+    import jax
+    import jax.numpy as jnp
+    from hesic_tpu.models import DSIC, DSICFastCodec
+    from hesic_tpu.training import (TrainState, make_optimizer,
+                                    make_train_step,
+                                    stereo_rate_distortion_loss)
+
+    hw = int(os.environ.get("BENCH_SIZE", "512"))
+    batch = int(os.environ.get("BENCH_BATCH", "16"))
+    n_batches = int(os.environ.get("BENCH_BATCHES", "4"))
+    calib_steps = int(os.environ.get("BENCH_CALIB_STEPS", "60"))
+    mm = int(os.environ.get("BENCH_MM", "16"))
+    rng = np.random.RandomState(0)
+    module = DSIC(N=128, M=192, F=21, C=32, K=5)
+
+    if calib_steps > 0:
+        def loss_fn(module, params, batch_d, rng_key):
+            out = module.apply({"params": params}, batch_d["x1"],
+                               batch_d["x2"], training=True,
+                               rngs={"noise": rng_key})
+            rd = stereo_rate_distortion_loss(out, batch_d["x1"],
+                                             batch_d["x2"], lmbda=1e-2)
+            aux = module.apply({"params": params}, method="aux_loss")
+            return rd["loss"] + aux, {"bpp": rd["bpp_loss"]}
+
+        chw = 256
+        xs = [_smooth_pair(rng, chw) for _ in range(4)]
+        batch_d = {
+            "x1": jnp.asarray(np.concatenate([p[0] for p in xs])),
+            "x2": jnp.asarray(np.concatenate([p[1] for p in xs])),
+        }
+        params = module.init(
+            {"params": jax.random.PRNGKey(0),
+             "noise": jax.random.PRNGKey(1)},
+            batch_d["x1"][:1], batch_d["x2"][:1], training=True)["params"]
+        tx = make_optimizer(1e-4, 1e-3)
+        state = TrainState.create(params, tx)
+        step = make_train_step(module, tx, loss_fn)
+        key = jax.random.PRNGKey(7)
+        for _ in range(calib_steps):
+            key, sub = jax.random.split(key)
+            state, _ = step(state, batch_d, sub)
+        params = state.params
+        codec = DSICFastCodec(module, params, mm=mm, codec_batch=batch)
+    else:
+        codec = DSICFastCodec.init(
+            module, [(1, hw, hw, 3), (1, hw, hw, 3)])
+        codec = DSICFastCodec(codec.module, codec.params, mm=mm,
+                              codec_batch=batch)
+    codec.update()
+
+    xs = [_smooth_pair(rng, hw) for _ in range(batch)]
+    x1 = jnp.asarray(np.concatenate([p[0] for p in xs]))
+    x2 = jnp.asarray(np.concatenate([p[1] for p in xs]))
+    out = codec.compress_fast(x1, x2, batch_container=True)
+    rec = codec.decompress_fast_batch(out["blob"])
+    jax.block_until_ready(rec["x2_hat"])
+
+    from concurrent.futures import ThreadPoolExecutor
+    ex = ThreadPoolExecutor(1)
+    start = time.time()
+    fut = ex.submit(codec.compress_fast, x1, x2, None, True)
+    for i in range(n_batches):
+        out = fut.result()
+        if i + 1 < n_batches:
+            fut = ex.submit(codec.compress_fast, x1, x2, None, True)
+        rec = codec.decompress_fast_batch(out["blob"])
+    jax.block_until_ready(rec["x2_hat"])
+    elapsed = time.time() - start
+    ex.shutdown()
+    pairs_per_sec = n_batches * batch / elapsed
+
+    print(json.dumps({
+        "metric": f"dsic_pairs_per_sec_{hw}px_encdec",
+        "value": round(pairs_per_sec, 3),
+        "unit": "pairs/s/chip",
+        "vs_baseline": round(pairs_per_sec / BASELINE_PAIRS_PER_SEC, 3),
+    }))
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -215,7 +345,12 @@ def main():
 
 
 if __name__ == "__main__":
-    if os.environ.get("BENCH_MODE", "") == "ar":
+    _mode = os.environ.get("BENCH_MODE", "")
+    if _mode == "ar":
         bench_ar()
+    elif _mode == "ar-device":
+        bench_ar_device()
+    elif _mode == "dsic":
+        bench_dsic()
     else:
         main()

@@ -11,6 +11,7 @@ from .dsic import (DSIC, DSICPlus, IndependentEnhancementNoWarp, CostVolume,
                    GlobalContext, dense_warp)
 from .dsic_codec import DSICCodec, DSICPlusCodec
 from .dsic_fast import DSICFastCodec
+from .ar_device import JointAutoregressiveDeviceCodec
 from .priors import (FactorizedPrior, JointAutoregressiveHierarchicalPriors,
                      MeanScaleHyperprior, ScaleHyperprior)
 from .waseda import Cheng2020Anchor, Cheng2020Attention
@@ -40,6 +41,7 @@ __all__ = [
     "DSIC",
     "DSICCodec",
     "DSICFastCodec",
+    "JointAutoregressiveDeviceCodec",
     "DSICPlus",
     "DSICPlusCodec",
     "IndependentEnhancementNoWarp",

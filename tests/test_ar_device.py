@@ -1,0 +1,79 @@
+"""Wavefront device AR codec: schedule validity + exact roundtrips."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from hesic_tpu.models import (JointAutoregressiveCodec,
+                              JointAutoregressiveHierarchicalPriors)
+from hesic_tpu.models.ar_device import (JointAutoregressiveDeviceCodec,
+                                        _TAPS, schedule)
+
+
+class TestSchedule:
+    def test_taps_strictly_earlier(self):
+        # every mask-A tap must land at a smaller wavefront level
+        assert all(3 * di + dj < 0 for (di, dj) in _TAPS)
+        assert len(_TAPS) == 12
+
+    @pytest.mark.parametrize("hy,wy", [(4, 4), (5, 9), (8, 3), (1, 7)])
+    def test_levels_partition_pixels(self, hy, wy):
+        n_levels, i_min, count, p_max = schedule(hy, wy)
+        seen = np.zeros((hy, wy), bool)
+        for s in range(n_levels):
+            for p in range(count[s]):
+                i = int(i_min[s]) + p
+                j = s - 3 * i
+                assert 0 <= i < hy and 0 <= j < wy
+                assert not seen[i, j]
+                seen[i, j] = True
+        assert seen.all()
+        assert p_max == count.max()
+
+
+def _codec(seed=0, n=16, m=16, mm=8, groups=4):
+    module = JointAutoregressiveHierarchicalPriors(N=n, M=m)
+    base = JointAutoregressiveCodec.init(module, [(1, 64, 64, 3)],
+                                         seed=seed)
+    base.update()
+    return JointAutoregressiveDeviceCodec(base, mm=mm, groups=groups)
+
+
+class TestWavefrontRoundtrip:
+    def test_roundtrip_exact(self):
+        codec = _codec()
+        rng = np.random.RandomState(0)
+        x = jnp.asarray(rng.rand(2, 64, 64, 3), jnp.float32)
+        out = codec.compress(x)
+        rec = codec.decompress(out["strings"])
+        np.testing.assert_array_equal(np.asarray(rec["y_hat"]),
+                                      np.asarray(out["y_hat"]))
+        assert 0 < out["bpp_real"] < 64
+        assert rec["x_hat"].shape == x.shape
+
+    def test_escape_corrections_roundtrip(self):
+        # a tiny grid forces out-of-grid residuals through the exact
+        # side-channel, which must feed the recursion mid-scan
+        codec = _codec(mm=1)
+        rng = np.random.RandomState(1)
+        x = jnp.asarray(rng.rand(1, 64, 64, 3) * 4 - 1.5, jnp.float32)
+        out = codec.compress(x)
+        blob = out["strings"][0]
+        (n_esc,) = np.frombuffer(blob, np.uint32, 1, 12)
+        assert n_esc > 0, "test setup: no escapes triggered"
+        rec = codec.decompress(out["strings"])
+        np.testing.assert_array_equal(np.asarray(rec["y_hat"]),
+                                      np.asarray(out["y_hat"]))
+
+    def test_groups_change_stream_not_result(self):
+        rng = np.random.RandomState(2)
+        x = jnp.asarray(rng.rand(1, 64, 64, 3), jnp.float32)
+        outs = []
+        for groups in (1, 4):
+            codec = _codec(seed=3, groups=groups)
+            out = codec.compress(x)
+            rec = codec.decompress(out["strings"])
+            np.testing.assert_array_equal(np.asarray(rec["y_hat"]),
+                                          np.asarray(out["y_hat"]))
+            outs.append(np.asarray(out["y_hat"]))
+        np.testing.assert_array_equal(outs[0], outs[1])
