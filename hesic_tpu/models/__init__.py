@@ -11,7 +11,8 @@ from .dsic import (DSIC, DSICPlus, IndependentEnhancementNoWarp, CostVolume,
                    GlobalContext, dense_warp)
 from .dsic_codec import DSICCodec, DSICPlusCodec
 from .dsic_fast import DSICFastCodec
-from .ar_device import JointAutoregressiveDeviceCodec
+from .ar_device import (HESICPlusDeviceCodec,
+                        JointAutoregressiveDeviceCodec)
 from .priors import (FactorizedPrior, JointAutoregressiveHierarchicalPriors,
                      MeanScaleHyperprior, ScaleHyperprior)
 from .waseda import Cheng2020Anchor, Cheng2020Attention
@@ -41,6 +42,7 @@ __all__ = [
     "DSIC",
     "DSICCodec",
     "DSICFastCodec",
+    "HESICPlusDeviceCodec",
     "JointAutoregressiveDeviceCodec",
     "DSICPlus",
     "DSICPlusCodec",

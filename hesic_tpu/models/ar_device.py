@@ -247,6 +247,9 @@ def ar_wavefront(weights, pre, post, y_true, corr_mask, corr_val,
 
     init = (buf, rbuf, states.astype(jnp.uint32), counts.astype(jnp.int32))
     xs = (jnp.arange(n_levels, dtype=jnp.int32), i_min, counts_lv)
+    # NOTE: unroll measured SLOWER here (2.9 vs 4.6 img/s at unroll=5):
+    # the scan carry is the ~30 MB skewed buffer pair, and unrolling
+    # bloats the program without reducing carry movement.
     (buf, rbuf, _, _), (starts, freqs) = jax.lax.scan(level_body, init, xs)
     t_slots = n_levels * groups
     starts = starts.reshape(t_slots, lanes)
@@ -410,4 +413,156 @@ class JointAutoregressiveDeviceCodec:
             mm=self.mm, groups=self.groups)
         x_hat = jnp.clip(base.jit("synthesis")(y_hat), 0.0, 1.0)
         return {"x_hat": x_hat, "y_hat": y_hat,
+                "dectime": time.time() - start}
+
+
+class HESICPlusDeviceCodec:
+    """Wavefront device codec for HESIC+ (both eyes autoregressive; the
+    right eye's entropy parameters additionally condition on the
+    re-encoded decoded-left prior — the `post` input of the wavefront
+    program, reference newnet1_joint.py:659-665).
+
+    Wraps a HESICPlusCodec (provides transforms, EB tables, the
+    decoder-reproducible `left_prior` program, and the container-free
+    sub-programs).  One blob codes the whole batch of pairs.
+    """
+
+    def __init__(self, base, mm: int = 16, groups: int = 8):
+        from .autoregressive import extract_ar_weights
+        self.base = base
+        self.mm = mm
+        self.groups = groups
+        self.w1 = extract_ar_weights(base.params, "context_prediction1",
+                                     "entropy_parameters1")
+        self.w2 = extract_ar_weights(base.params, "context_prediction2",
+                                     "entropy_parameters2")
+
+    @staticmethod
+    def _pack_escapes(resid_np, mm):
+        flat = resid_np.reshape(-1)
+        idx = np.flatnonzero(np.abs(flat) > mm)
+        return (np.array([idx.size], np.uint32).tobytes()
+                + idx.astype(np.uint32).tobytes()
+                + flat[idx].astype(np.int32).tobytes())
+
+    @staticmethod
+    def _parse_escapes(blob, off, shape):
+        (n,) = np.frombuffer(blob, np.uint32, 1, off)
+        off += 4
+        idx = np.frombuffer(blob, np.uint32, int(n), off)
+        off += 4 * int(n)
+        val = np.frombuffer(blob, np.int32, int(n), off)
+        off += 4 * int(n)
+        if n == 0:
+            return None, None, off
+        cm = np.zeros(int(np.prod(shape)), np.int32)
+        cv = np.zeros(int(np.prod(shape)), np.int32)
+        cm[idx] = 1
+        cv[idx] = val
+        return (jnp.asarray(cm.reshape(shape)),
+                jnp.asarray(cv.reshape(shape)), off)
+
+    def compress(self, x1, x2, h_matrix):
+        import time
+        from ..codecs.device_rans import pack_stream
+        start = time.time()
+        base = self.base
+        x1 = jnp.asarray(x1, jnp.float32)
+        x2 = jnp.asarray(x2, jnp.float32)
+        h_matrix = jnp.asarray(h_matrix, jnp.float32)
+        if h_matrix.shape[0] != x1.shape[0]:
+            h_matrix = jnp.broadcast_to(h_matrix, (x1.shape[0], 3, 3))
+        from ..geometry import warp_perspective
+        size = (x1.shape[1], x1.shape[2])
+
+        y1 = base.jit("analysis1")(x1)
+        z1 = base.jit("hyper_analysis1")(y1)
+        z1_strings = base.eb_compress("entropy_bottleneck1", z1)
+        z1_hat = base.eb_decompress("entropy_bottleneck1", z1_strings,
+                                    z1.shape[1:3])
+        pre1 = base.jit("hyper_synthesis1")(z1_hat)
+        wo1, c1, st1, y1_hat, r1 = wavefront_encode(
+            self.w1, y1, pre1, mm=self.mm, groups=self.groups)
+        x1_hat = base.jit("synthesis1")(y1_hat)
+
+        x1_warp = warp_perspective(x1, h_matrix, size)
+        y2 = base.jit("analysis2")(x1_warp, x2)
+        z2 = base.jit("hyper_analysis2")(y2)
+        z2_strings = base.eb_compress("entropy_bottleneck2", z2)
+        z2_hat = base.eb_decompress("entropy_bottleneck2", z2_strings,
+                                    z2.shape[1:3])
+        pre2 = base.jit("hyper_synthesis2")(z2_hat)
+        y1_prior = base.jit("left_prior")(x1_hat, h_matrix)
+        wo2, c2, st2, y2_hat, r2 = wavefront_encode(
+            self.w2, y2, pre2, post=y1_prior, mm=self.mm,
+            groups=self.groups)
+
+        blob = bytearray()
+        blob += np.array([x1.shape[0], x1.shape[1], x1.shape[2]],
+                         np.uint32).tobytes()
+        blob += self._pack_escapes(np.asarray(r1), self.mm)
+        blob += self._pack_escapes(np.asarray(r2), self.mm)
+        for strs in (z1_strings, z2_strings):
+            for s in strs:
+                blob += np.array([len(s)], np.uint32).tobytes() + s
+        blob += np.asarray(h_matrix, np.float32).tobytes()
+        blob += pack_stream(wo1, c1, st1)
+        blob += pack_stream(wo2, c2, st2)
+        num_pixels = 2 * x1.shape[0] * x1.shape[1] * x1.shape[2]
+        return {"strings": [bytes(blob)],
+                "y1_hat": y1_hat, "y2_hat": y2_hat,
+                "bpp_real": len(blob) * 8 / num_pixels,
+                "enctime": time.time() - start}
+
+    def decompress(self, strings):
+        import time
+        from ..codecs.device_rans import unpack_stream
+        from ..geometry import warp_perspective
+        start = time.time()
+        base = self.base
+        blob = strings[0] if isinstance(strings, (list, tuple)) \
+            else strings
+        b, h_img, w_img = (int(v) for v in
+                           np.frombuffer(blob, np.uint32, 3, 0))
+        off = 12
+        hy, wy = h_img // 16, w_img // 16
+        m = self.w1.ctx_kernel.shape[2]
+        shp = (b, hy, wy, m)
+        cm1, cv1, off = self._parse_escapes(blob, off, shp)
+        cm2, cv2, off = self._parse_escapes(blob, off, shp)
+        z_strs = [[], []]
+        for eye in range(2):
+            for _ in range(b):
+                (length,) = np.frombuffer(blob, np.uint32, 1, off)
+                off += 4
+                z_strs[eye].append(blob[off:off + int(length)])
+                off += int(length)
+        h_matrix = jnp.asarray(np.frombuffer(
+            blob, np.float32, 9 * b, off).reshape(b, 3, 3))
+        off += 36 * b
+        wo1, c1, st1, off = unpack_stream(blob, off)
+        wo2, c2, st2, off = unpack_stream(blob, off)
+
+        z1_hat = base.eb_decompress("entropy_bottleneck1", z_strs[0],
+                                    (hy // 4, wy // 4))
+        pre1 = base.jit("hyper_synthesis1")(z1_hat)
+        y1_hat = wavefront_decode(
+            self.w1, pre1, jnp.asarray(wo1), jnp.asarray(c1),
+            jnp.asarray(st1), corr_mask=cm1, corr_val=cv1, mm=self.mm,
+            groups=self.groups)
+        x1_hat = base.jit("synthesis1")(y1_hat)
+
+        z2_hat = base.eb_decompress("entropy_bottleneck2", z_strs[1],
+                                    (hy // 4, wy // 4))
+        pre2 = base.jit("hyper_synthesis2")(z2_hat)
+        y1_prior = base.jit("left_prior")(x1_hat, h_matrix)
+        y2_hat = wavefront_decode(
+            self.w2, pre2, jnp.asarray(wo2), jnp.asarray(c2),
+            jnp.asarray(st2), post=y1_prior, corr_mask=cm2, corr_val=cv2,
+            mm=self.mm, groups=self.groups)
+        size = (h_img, w_img)
+        x1_hat_warp = warp_perspective(x1_hat, h_matrix, size)
+        x2_hat = base.jit("synthesis2")(y2_hat, x1_hat_warp)
+        return {"x1_hat": x1_hat, "x2_hat": x2_hat,
+                "y1_hat": y1_hat, "y2_hat": y2_hat,
                 "dectime": time.time() - start}

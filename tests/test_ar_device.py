@@ -77,3 +77,25 @@ class TestWavefrontRoundtrip:
                                           np.asarray(out["y_hat"]))
             outs.append(np.asarray(out["y_hat"]))
         np.testing.assert_array_equal(outs[0], outs[1])
+
+
+class TestHESICPlusDevice:
+    def test_roundtrip_exact(self):
+        from hesic_tpu.models import (HESICPlus, HESICPlusCodec,
+                                      HESICPlusDeviceCodec)
+        rng = np.random.RandomState(5)
+        x1 = jnp.asarray(rng.rand(2, 64, 64, 3), jnp.float32)
+        x2 = jnp.asarray(rng.rand(2, 64, 64, 3), jnp.float32)
+        h = jnp.tile(jnp.eye(3, dtype=jnp.float32)[None], (2, 1, 1))
+        module = HESICPlus(N=16, M=24)
+        base = HESICPlusCodec.init(module, [x1.shape, x2.shape, h.shape])
+        base.update()
+        codec = HESICPlusDeviceCodec(base, mm=8, groups=4)
+        out = codec.compress(x1, x2, h)
+        rec = codec.decompress(out["strings"])
+        np.testing.assert_array_equal(np.asarray(rec["y1_hat"]),
+                                      np.asarray(out["y1_hat"]))
+        np.testing.assert_array_equal(np.asarray(rec["y2_hat"]),
+                                      np.asarray(out["y2_hat"]))
+        assert rec["x2_hat"].shape == x2.shape
+        assert 0 < out["bpp_real"] < 64
