@@ -339,6 +339,10 @@ class JointAutoregressiveDeviceCodec:
     def compress(self, x):
         import time
         start = time.time()
+        if x.shape[1] % 64 or x.shape[2] % 64:
+            raise ValueError(
+                "input dims must be multiples of 64 (pad like "
+                "eval_model does); got " + str(x.shape))
         base = self.base
         y = base.jit("analysis")(x)
         z = base.jit("hyper_analysis")(y)
@@ -354,8 +358,8 @@ class JointAutoregressiveDeviceCodec:
         idx = np.flatnonzero(np.abs(resid_np) > self.mm)
         from ..codecs.device_rans import pack_stream
         blob = bytearray()
-        blob += np.array([x.shape[0], x.shape[1], x.shape[2]],
-                         np.uint32).tobytes()
+        blob += np.array([x.shape[0], x.shape[1], x.shape[2],
+                          z.shape[1], z.shape[2]], np.uint32).tobytes()
         blob += np.array([idx.size], np.uint32).tobytes()
         blob += idx.astype(np.uint32).tobytes()
         blob += resid_np[idx].astype(np.int32).tobytes()
@@ -375,9 +379,9 @@ class JointAutoregressiveDeviceCodec:
         blob = strings[0] if isinstance(strings, (list, tuple)) \
             else strings
         off = 0
-        b, h_img, w_img = (int(v) for v in
-                           np.frombuffer(blob, np.uint32, 3, 0))
-        off += 12
+        b, h_img, w_img, zh, zw = (int(v) for v in
+                                   np.frombuffer(blob, np.uint32, 5, 0))
+        off += 20
         (n_esc,) = np.frombuffer(blob, np.uint32, 1, off)
         off += 4
         esc_idx = np.frombuffer(blob, np.uint32, int(n_esc), off)
@@ -395,7 +399,7 @@ class JointAutoregressiveDeviceCodec:
 
         hy, wy = h_img // 16, w_img // 16
         z_hat = base.eb_decompress("entropy_bottleneck", z_strings,
-                                   (hy // 4, wy // 4))
+                                   (zh, zw))
         pre = base.jit("hyper_synthesis")(z_hat)
         m = self.weights.ctx_kernel.shape[2]
         corr_mask = None
@@ -469,6 +473,10 @@ class HESICPlusDeviceCodec:
         base = self.base
         x1 = jnp.asarray(x1, jnp.float32)
         x2 = jnp.asarray(x2, jnp.float32)
+        if x1.shape[1] % 64 or x1.shape[2] % 64:
+            raise ValueError(
+                "input dims must be multiples of 64 (pad like "
+                "eval_model does); got " + str(x1.shape))
         h_matrix = jnp.asarray(h_matrix, jnp.float32)
         if h_matrix.shape[0] != x1.shape[0]:
             h_matrix = jnp.broadcast_to(h_matrix, (x1.shape[0], 3, 3))
@@ -498,8 +506,8 @@ class HESICPlusDeviceCodec:
             groups=self.groups)
 
         blob = bytearray()
-        blob += np.array([x1.shape[0], x1.shape[1], x1.shape[2]],
-                         np.uint32).tobytes()
+        blob += np.array([x1.shape[0], x1.shape[1], x1.shape[2],
+                          z1.shape[1], z1.shape[2]], np.uint32).tobytes()
         blob += self._pack_escapes(np.asarray(r1), self.mm)
         blob += self._pack_escapes(np.asarray(r2), self.mm)
         for strs in (z1_strings, z2_strings):
@@ -522,9 +530,9 @@ class HESICPlusDeviceCodec:
         base = self.base
         blob = strings[0] if isinstance(strings, (list, tuple)) \
             else strings
-        b, h_img, w_img = (int(v) for v in
-                           np.frombuffer(blob, np.uint32, 3, 0))
-        off = 12
+        b, h_img, w_img, zh, zw = (int(v) for v in
+                                   np.frombuffer(blob, np.uint32, 5, 0))
+        off = 20
         hy, wy = h_img // 16, w_img // 16
         m = self.w1.ctx_kernel.shape[2]
         shp = (b, hy, wy, m)
@@ -544,7 +552,7 @@ class HESICPlusDeviceCodec:
         wo2, c2, st2, off = unpack_stream(blob, off)
 
         z1_hat = base.eb_decompress("entropy_bottleneck1", z_strs[0],
-                                    (hy // 4, wy // 4))
+                                    (zh, zw))
         pre1 = base.jit("hyper_synthesis1")(z1_hat)
         y1_hat = wavefront_decode(
             self.w1, pre1, jnp.asarray(wo1), jnp.asarray(c1),
@@ -553,7 +561,7 @@ class HESICPlusDeviceCodec:
         x1_hat = base.jit("synthesis1")(y1_hat)
 
         z2_hat = base.eb_decompress("entropy_bottleneck2", z_strs[1],
-                                    (hy // 4, wy // 4))
+                                    (zh, zw))
         pre2 = base.jit("hyper_synthesis2")(z2_hat)
         y1_prior = base.jit("left_prior")(x1_hat, h_matrix)
         y2_hat = wavefront_decode(

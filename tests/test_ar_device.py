@@ -99,3 +99,21 @@ class TestHESICPlusDevice:
                                       np.asarray(out["y2_hat"]))
         assert rec["x2_hat"].shape == x2.shape
         assert 0 < out["bpp_real"] < 64
+
+
+class TestNonSquare:
+    def test_wavefront_non_square(self):
+        codec = _codec(seed=7)
+        rng = np.random.RandomState(9)
+        x = jnp.asarray(rng.rand(1, 64, 128, 3), jnp.float32)
+        out = codec.compress(x)
+        rec = codec.decompress(out["strings"])
+        np.testing.assert_array_equal(np.asarray(rec["y_hat"]),
+                                      np.asarray(out["y_hat"]))
+
+    def test_non_x64_rejected(self):
+        codec = _codec(seed=7)
+        rng = np.random.RandomState(9)
+        x = jnp.asarray(rng.rand(1, 64, 96, 3), jnp.float32)
+        with pytest.raises(ValueError, match="multiples of 64"):
+            codec.compress(x)

@@ -179,3 +179,26 @@ class TestBatchedFast:
                                       np.asarray(ref["y1_hat"]))
         np.testing.assert_array_equal(np.asarray(rec["y2_hat"]),
                                       np.asarray(ref["y2_hat"]))
+
+
+class TestNonSquareFast:
+    def test_non_square_roundtrip(self):
+        rng = np.random.RandomState(11)
+        h_img, w_img, b = 64, 128, 2
+        x1 = jnp.asarray(rng.rand(b, h_img, w_img, 3), jnp.float32)
+        x2 = jnp.asarray(rng.rand(b, h_img, w_img, 3), jnp.float32)
+        h = jnp.tile(jnp.eye(3)[None], (b, 1, 1))
+        module = HESIC(N=16, M=24, K=2)
+        codec = HESICFastCodec.init(
+            module, [(1, h_img, w_img, 3), (1, h_img, w_img, 3),
+                     (1, 3, 3)])
+        codec = HESICFastCodec(codec.module, codec.params, mm=8,
+                               codec_batch=b)
+        codec.update()
+        out = codec.compress_fast(x1, x2, h, batch_container=True)
+        rec = codec.decompress_fast_batch(out["blob"])
+        enc = codec._fn("transforms_enc")(codec.params, x1, x2, h)
+        np.testing.assert_array_equal(
+            np.asarray(rec["y1_hat"]).astype(np.int64), np.asarray(enc[0]))
+        np.testing.assert_array_equal(
+            np.asarray(rec["y2_hat"]).astype(np.int64), np.asarray(enc[1]))
