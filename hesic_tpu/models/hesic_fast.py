@@ -140,17 +140,6 @@ def _gmm_freq_fast(sigma, means, weights, mm: int, k: int):
         (freq, center.astype(jnp.int32)))
 
 
-def _flatten_cm(y_hat):
-    """(B, h, w, M) -> channel-major flat (B, M*h*w)."""
-    b, h, w, m = y_hat.shape
-    return y_hat.transpose(0, 3, 1, 2).reshape(b, -1)
-
-
-def _unflatten_cm(flat, h, w, m):
-    b = flat.shape[0]
-    return flat.reshape(b, m, h, w).transpose(0, 2, 3, 1)
-
-
 def _encode_stream(freq, y_hat, mm: int, center):
     """Batched interleave encode from lane-layout frequency rows.
 
