@@ -336,11 +336,28 @@ def main():
     ex.shutdown()
     pairs_per_sec = n_batches * batch / elapsed
 
+    # MFU from XLA's own cost analysis of the codec programs (compiles
+    # hit the persistent cache — the same shapes just ran).  v5e peak:
+    # 197 bf16 TFLOP/s.
+    extra = {}
+    try:
+        fl = codec.device_flops(hw, hw)
+        tflops = fl["flops_per_pair"] * pairs_per_sec / 1e12
+        peak = float(os.environ.get("BENCH_PEAK_TFLOPS", "197"))
+        extra = {
+            "flops_per_pair": round(fl["flops_per_pair"]),
+            "tflops_per_sec": round(tflops, 3),
+            "mfu_pct_bf16": round(100.0 * tflops / peak, 2),
+        }
+    except Exception:
+        pass
+
     print(json.dumps({
         "metric": f"stereo_pairs_per_sec_{hw}px_encdec",
         "value": round(pairs_per_sec, 3),
         "unit": "pairs/s/chip",
         "vs_baseline": round(pairs_per_sec / BASELINE_PAIRS_PER_SEC, 3),
+        **extra,
     }))
 
 

@@ -1,7 +1,8 @@
 """Build helper for the native entropy-coding runtime.
 
-Compiles ``csrc/rans.cpp`` into ``librans_tpu.so`` with g++ on first import
-and caches the artifact next to the source (rebuilt when the source is newer).
+Compiles ``csrc/rans.cpp`` into ``librans_tpu.so`` (or
+``librans_tpu_dbg.so`` under HESIC_DEBUG=1) with g++ on first import and
+caches the artifact next to the source (rebuilt when the source is newer).
 We deliberately avoid pybind11: the library exposes a plain C ABI consumed via
 ctypes, so there is no Python ABI coupling and no build-time Python deps.
 """
@@ -13,21 +14,37 @@ import subprocess
 
 _THIS_DIR = os.path.dirname(os.path.abspath(__file__))
 SRC = os.path.join(_THIS_DIR, "csrc", "rans.cpp")
-LIB = os.path.join(_THIS_DIR, "librans_tpu.so")
 
-_CXX_FLAGS = ["-O3", "-std=c++17", "-shared", "-fPIC", "-Wall"]
-# -march=native vectorizes the AR coder's matvecs (independent output
-# lanes, so per-output float summation order — and therefore the coder's
-# encode/decode agreement — is unchanged).  -std=c++17 keeps
-# -ffp-contract off (ISO mode), so no FMA contraction sneaks in.  The .so
-# is built per machine on first import, so ISA portability is moot.
+# -ffp-contract=off: GCC defaults to -ffp-contract=fast even in ISO
+# (-std=c++17) mode, so without this -march=native would enable FMA
+# contraction in the AR coder's float matvecs.  Encode/decode always share
+# one .so, but a stream persisted before a rebuild (or made on another
+# machine) must decode identically after one — so the float pipeline is
+# pinned to exact IEEE mul+add.  -march=native still vectorizes the
+# independent output lanes (summation order per output is unchanged).
+_CXX_FLAGS = ["-O3", "-std=c++17", "-ffp-contract=off", "-shared", "-fPIC",
+              "-Wall"]
+_DBG_FLAGS = ["-O0", "-g", "-DHESIC_DEBUG", "-std=c++17",
+              "-ffp-contract=off", "-shared", "-fPIC", "-Wall"]
 _ARCH_FLAGS = ["-march=native"]
 
 
-def _needs_build() -> bool:
-    if not os.path.exists(LIB):
+def _is_debug() -> bool:
+    return os.environ.get("HESIC_DEBUG", "") == "1"
+
+
+def _lib_path() -> str:
+    # Debug and release builds get distinct filenames so toggling
+    # HESIC_DEBUG always loads a library built with the matching flags
+    # (a shared name let a stale -O0 .so persist into release runs).
+    name = "librans_tpu_dbg.so" if _is_debug() else "librans_tpu.so"
+    return os.path.join(_THIS_DIR, name)
+
+
+def _needs_build(lib: str) -> bool:
+    if not os.path.exists(lib):
         return True
-    return os.path.getmtime(SRC) > os.path.getmtime(LIB)
+    return os.path.getmtime(SRC) > os.path.getmtime(lib)
 
 
 def build(force: bool = False) -> str:
@@ -37,13 +54,12 @@ def build(force: bool = False) -> str:
     validation in the coder entry points — the reference's DEBUG_BUILD
     equivalent (setup.py:47-50 / rans_interface.cpp assert_cdfs).
     """
-    debug = os.environ.get("HESIC_DEBUG", "") == "1"
-    base = (["-O0", "-g", "-DHESIC_DEBUG", "-std=c++17", "-shared",
-             "-fPIC", "-Wall"] if debug else _CXX_FLAGS)
-    if force or _needs_build():
+    lib = _lib_path()
+    base = _DBG_FLAGS if _is_debug() else _CXX_FLAGS
+    if force or _needs_build(lib):
         cxx = os.environ.get("CXX", "g++")
         for arch in (_ARCH_FLAGS, []):
-            cmd = [cxx, *base, *arch, SRC, "-o", LIB + ".tmp"]
+            cmd = [cxx, *base, *arch, SRC, "-o", lib + ".tmp"]
             try:
                 subprocess.run(cmd, check=True, capture_output=True,
                                text=True)
@@ -51,5 +67,5 @@ def build(force: bool = False) -> str:
             except subprocess.CalledProcessError:
                 if not arch:  # even the portable flags failed
                     raise
-        os.replace(LIB + ".tmp", LIB)
-    return LIB
+        os.replace(lib + ".tmp", lib)
+    return lib

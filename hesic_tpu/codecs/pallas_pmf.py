@@ -1,9 +1,11 @@
 """Pallas TPU kernel for the GMM -> quantized-frequency pipeline.
 
 Fuses the whole chain Φ(edges) -> PMF diff -> K-mixture sum -> integer
-frequency quantization (and the per-channel grid centering) into one
-Mosaic kernel, so none of the (B, K, M, S, hw) intermediates ever touch
-HBM.  The XLA version (models/hesic_fast._gmm_freq_fast) materializes
+frequency quantization into one Mosaic kernel, so none of the
+(B, K, M, S, hw) intermediates ever touch HBM.  The per-channel grid
+centers are a tiny XLA reduction computed outside the kernel (same op
+order as the XLA pipeline), which lets the kernel grid chunk the spatial
+axis when a full (M, S, hw) block would exceed VMEM.  The XLA version (models/hesic_fast._gmm_freq_fast) materializes
 ~4 GB of intermediates per batch-16 call at mm=32 and measured ~40 ms;
 this kernel is erfc-compute-bound.
 
@@ -62,22 +64,19 @@ def _roll_sum(v, axis):
     return v
 
 
-def _pmf_kernel(mu_ref, sc_ref, w_ref, freq_ref, cen_ref, pmf_s,
+def _pmf_kernel(cen_ref, mu_ref, sc_ref, w_ref, freq_ref, pmf_s,
                 *, mm):
-    mu = mu_ref[0]                              # (K, Mt, hw)
+    mu = mu_ref[0]                              # (K, Mt, Ht)
     sc = sc_ref[0]
-    wgt = w_ref[0]                              # (K, Mt, hw) or (K, Mt, 1)
-
-    mix_mean = jnp.sum(mu * wgt, axis=0)        # (Mt, hw)
-    center = jnp.round(jnp.mean(mix_mean, axis=-1, keepdims=True))
-    cen_ref[0] = center.astype(jnp.int32)       # (Mt, 1)
+    wgt = w_ref[0]                              # (K, Mt, Ht) or (K, Mt, 1)
+    center = cen_ref[0].astype(jnp.float32)     # (Mt, 1)
 
     inv_sc = 1.0 / sc
     s_dim = 2 * mm + 1
 
     def edge_cdf(s):
         e = (float(s - mm) - 0.5) + center[None, :, :]   # (1, Mt, 1)
-        return _std_cdf((e - mu) * inv_sc)               # (K, Mt, hw)
+        return _std_cdf((e - mu) * inv_sc)               # (K, Mt, Ht)
 
     prev = edge_cdf(0)
     for s in range(1, s_dim + 1):
@@ -86,7 +85,7 @@ def _pmf_kernel(mu_ref, sc_ref, w_ref, freq_ref, cen_ref, pmf_s,
             jnp.sum((cur - prev) * wgt, axis=0), 0.0)    # (Mt, hw)
         prev = cur
 
-    pmf = pmf_s[...]                            # (Mt, S, hw)
+    pmf = pmf_s[...]                            # (Mt, S, Ht)
     total = jnp.sum(pmf, axis=1, keepdims=True)
     ideal = pmf / jnp.maximum(total, 1e-30) * float(_TOTAL)
     freq = jnp.maximum(jnp.floor(ideal), 1.0).astype(jnp.int32)
@@ -124,41 +123,57 @@ def gmm_freq_pallas(sigma, means, weights, mm: int, k: int,
     if not spatial_w:
         wgt = jnp.broadcast_to(wgt, (b, k, m, 1))
 
-    # Mt: channels per block — bounded by VMEM for the (Mt, S, hw) pmf
-    # accumulator + (K, Mt, hw) per-edge temporaries; 8-aligned (or the
-    # full M) per the Mosaic block-shape rule
-    budget = 4 * 1024 * 1024
-    per_ch = (s_dim + 6 * k + 8) * hw * 4
-    mt = max(1, min(m, budget // max(per_ch, 1)))
-    while mt > 1 and (m % mt or mt % 8):
-        mt -= 1
-    if m % mt or (mt % 8 and mt != m):
-        mt = m
-    grid = (b, m // mt)
+    # Grid centers are a tiny XLA reduction computed OUTSIDE the kernel
+    # (same op order as _gmm_freq_fast, so the two backends agree on the
+    # grids); keeping them out of the kernel is what lets the grid chunk
+    # the spatial axis when (M, S, hw) would not fit VMEM.
+    mix_mean = jnp.sum(mu * wgt, axis=1)         # (B, M, hw) or (.., 1)
+    center = jnp.round(jnp.mean(mix_mean, axis=-1))    # (B, M) f32
+    cen = center.astype(jnp.int32)
 
-    w_hw = hw if spatial_w else 1
-    freq, cen = pl.pallas_call(
+    # Block sizes: Mt channels (8-aligned divisor of M, or M itself) and
+    # Ht spatial points (128-aligned divisor of hw, or hw itself) bounded
+    # by VMEM for the (Mt, S, Ht) pmf accumulator + (K, Mt, Ht) per-edge
+    # temporaries.  When no channel block fits at full hw, fall back to
+    # chunking hw instead of exceeding VMEM (advisor r2 finding).
+    budget = 4 * 1024 * 1024
+
+    def block_bytes(mt, ht):
+        return (s_dim + 6 * k + 8) * ht * 4 * mt
+
+    m_divs = [d for d in range(m, 0, -1)
+              if m % d == 0 and (d % 8 == 0 or d == m)]
+    mt = next((d for d in m_divs if block_bytes(d, hw) <= budget), None)
+    ht = hw
+    if mt is None:
+        mt = m_divs[-1]                          # smallest aligned divisor
+        hw_divs = [d for d in range(hw, 0, -1)
+                   if hw % d == 0 and (d % 128 == 0 or d == hw)]
+        ht = next((d for d in hw_divs if block_bytes(mt, d) <= budget),
+                  hw_divs[-1])
+    grid = (b, m // mt, hw // ht)
+
+    w_ht = ht if spatial_w else 1
+    w_idx = ((lambda i, j, l: (i, 0, j, l)) if spatial_w
+             else (lambda i, j, l: (i, 0, j, 0)))
+    freq = pl.pallas_call(
         functools.partial(_pmf_kernel, mm=mm),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, k, mt, hw), lambda i, j: (i, 0, j, 0),
+            pl.BlockSpec((1, mt, 1), lambda i, j, l: (i, j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, k, mt, hw), lambda i, j: (i, 0, j, 0),
+            pl.BlockSpec((1, k, mt, ht), lambda i, j, l: (i, 0, j, l),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, k, mt, w_hw), lambda i, j: (i, 0, j, 0),
+            pl.BlockSpec((1, k, mt, ht), lambda i, j, l: (i, 0, j, l),
                          memory_space=pltpu.VMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec((1, mt, s_dim, hw), lambda i, j: (i, j, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, mt, 1), lambda i, j: (i, j, 0),
+            pl.BlockSpec((1, k, mt, w_ht), w_idx,
                          memory_space=pltpu.VMEM),
         ],
-        out_shape=[
-            jax.ShapeDtypeStruct((b, m, s_dim, hw), jnp.int32),
-            jax.ShapeDtypeStruct((b, m, 1), jnp.int32),
-        ],
-        scratch_shapes=[pltpu.VMEM((mt, s_dim, hw), jnp.float32)],
+        out_specs=pl.BlockSpec(
+            (1, mt, s_dim, ht), lambda i, j, l: (i, j, 0, l),
+            memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, m, s_dim, hw), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((mt, s_dim, ht), jnp.float32)],
         interpret=interpret,
-    )(mu, sc, wgt)
-    return freq, cen.reshape(b, m)
+    )(cen[:, :, None], mu, sc, wgt)
+    return freq, cen

@@ -73,6 +73,31 @@ MM_DEFAULT = 32       # symbol grid half-width
 LANES_DEFAULT = 1024  # interleaved rANS lanes
 
 
+def _pmf_backend_id() -> int:
+    """1 = Pallas A&S-erfc PMF kernel, 0 = XLA erfc path.
+
+    The two backends produce frequency tables that differ in the last
+    bits, so their streams are NOT interchangeable.  Every fast container
+    leads with this byte and decode fails loudly on a mismatch instead of
+    silently decoding wrong latents."""
+    return 1 if _use_pallas() else 0
+
+
+def _check_pmf_backend(blob: bytes) -> int:
+    """Validate the container's leading backend byte against the current
+    process; returns the number of header bytes consumed (1)."""
+    tag = blob[0]
+    cur = _pmf_backend_id()
+    if tag != cur:
+        names = {0: "xla-erfc", 1: "pallas-erfc"}
+        raise ValueError(
+            f"fast container was encoded with the "
+            f"{names.get(tag, f'unknown({tag})')} PMF backend but this "
+            f"process uses {names[cur]}; re-encode, or set "
+            f"HESIC_NO_PALLAS / run on the matching backend to decode")
+    return 1
+
+
 def _bucket_cap(c: int) -> int:
     """Round a word capacity up to a bucket (compile-count control vs
     padded-transfer overhead: 16-word granularity keeps the padding
@@ -520,6 +545,73 @@ class HESICFastCodec(HESICCodec):
             y = self._fn("apply_corr")(y, corr[0], corr[1])
         return y
 
+    # ---- cost accounting ----
+
+    def device_flops(self, h_img: int, w_img: int, cap: int = 32) -> dict:
+        """XLA cost-analysis FLOPs for one enc+dec roundtrip.
+
+        Lowers the fast-codec device programs at the codec's canonical
+        batch size with abstract inputs and sums the compiled
+        executables' ``cost_analysis()['flops']`` (VERDICT r2 #6: makes
+        MFU measurable instead of asserted).  Compiles hit the persistent
+        cache when a real roundtrip at the same shapes already ran.
+        Pallas custom calls (the rANS/PMF kernels) are opaque to XLA's
+        analysis, so this is the *transform+conditioning* FLOP count —
+        the MXU-relevant part.  Returns {'flops_per_pair': ...,
+        'flops_total': ..., 'per_program': {...}} (flops in f32-equiv).
+        """
+        import jax
+
+        b = self.codec_batch
+        m = self.module.M
+        mm = self.mm
+        s_dim = 2 * mm + 1
+        hy, wy = h_img // 16, w_img // 16
+        hw = hy * wy
+        zc = self.params["entropy_bottleneck1"]["quantiles"].shape[0]
+        f32 = jnp.float32
+        i32 = jnp.int32
+
+        def sd(shape, dt=f32):
+            return jax.ShapeDtypeStruct(shape, dt)
+
+        x = sd((b, h_img, w_img, 3))
+        hm = sd((b, 3, 3))
+        z = sd((b, hy // 4, wy // 4, zc), i32)
+        y = sd((b, hy, wy, m), i32)
+        freq = sd((b, m, s_dim, hw), i32)
+        words = sd((b, cap, hw), i32)
+        counts = sd((b, hw), i32)
+        states = sd((b, hw), jnp.uint32)
+        center = sd((b, m), i32)
+
+        progs = {
+            "transforms_enc": ((self.params, x, x, hm), {}),
+            "cond1": ((self.params, z), {}),
+            "cond2": ((self.params, y, z, hm), {}),
+            "encode_stream": ((freq, y, center), {}),
+            "decode_stream": ((freq, words, counts, states, center,
+                              (hy, wy)), {}),
+            "synth_out": ((self.params, x, y, hm), {}),
+        }
+        per = {}
+        for name, (args, kw) in progs.items():
+            try:
+                cost = (self._fn(name).lower(*args, **kw)
+                        .compile().cost_analysis())
+                if isinstance(cost, (list, tuple)):
+                    cost = cost[0]
+                per[name] = float(cost.get("flops", 0.0))
+            except Exception:
+                per[name] = 0.0
+        # encode runs streams twice (both eyes); decode likewise
+        total = (per["transforms_enc"] + per["cond1"] * 2
+                 + per["cond2"] * 2 + per["encode_stream"] * 2
+                 + per["decode_stream"] * 2 + per["synth_out"])
+        return {"flops_total": total,
+                "flops_per_pair": total / b,
+                "per_program": per}
+
     # ---- container ----
 
     def compress_fast(self, x1, x2, h_matrix, batch_container: bool = False):
@@ -600,6 +692,7 @@ class HESICFastCodec(HESICCodec):
                 return wl[mask].astype(np.uint16)
 
             header = bytearray()
+            header += bytes([_pmf_backend_id()])
             header += np.array([x1.shape[1], x1.shape[2], b, lanes],
                                np.uint32).tobytes()
             for z1_str, z2_str in z_strs:
@@ -625,6 +718,7 @@ class HESICFastCodec(HESICCodec):
         for i in range(b):
             z1_str, z2_str = z_strs[i]
             header = bytearray()
+            header += bytes([_pmf_backend_id()])
             header += np.array([x1.shape[1], x1.shape[2]],
                                np.uint16).tobytes()
             for s in (z1_str, z2_str):
@@ -649,9 +743,10 @@ class HESICFastCodec(HESICCodec):
         exact per-lane counts (one masked scatter), decodes the z strings,
         and ships everything in one h2d transfer."""
         start = time.time()
-        hdr = np.frombuffer(blob, np.uint32, 4, 0)
+        off = _check_pmf_backend(blob)
+        hdr = np.frombuffer(blob, np.uint32, 4, off)
         h_img, w_img, b, lanes = (int(v) for v in hdr)
-        off = 16
+        off += 16
         y_shape = (h_img // 16, w_img // 16)
         z_shape = (y_shape[0] // 4, y_shape[1] // 4)
         z1_list, z2_list = [], []
@@ -750,7 +845,7 @@ class HESICFastCodec(HESICCodec):
         out1_list, out2_list = [], []
         y_shape = None
         for blob in blobs:
-            off = 0
+            off = _check_pmf_backend(blob)
             x_shape = np.frombuffer(blob, np.uint16, 2, off)
             off += 4
             z_strs = []

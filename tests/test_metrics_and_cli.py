@@ -167,7 +167,18 @@ class TestTFCIWrapper:
 
 
 class TestPlotBackends:
-    def test_plotly_backend_gates_gracefully(self, tmp_path):
+    def test_plotly_backend_gates_gracefully(self, tmp_path, monkeypatch):
+        # Force the plotly import to fail so the test is independent of
+        # whether plotly happens to be installed in this environment.
+        import builtins
+        real_import = builtins.__import__
+
+        def fake_import(name, *args, **kwargs):
+            if name.startswith("plotly"):
+                raise ImportError("forced for test")
+            return real_import(name, *args, **kwargs)
+
+        monkeypatch.setattr(builtins, "__import__", fake_import)
         from hesic_tpu.utils import plot
         res = tmp_path / "r.json"
         res.write_text(json.dumps(
