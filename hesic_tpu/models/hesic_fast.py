@@ -259,6 +259,14 @@ class HESICFastCodec(HESICCodec):
         # run at this canonical padded batch size, in chunks.
         self.codec_batch = codec_batch
         self._fns: dict = {}
+        # Optional jax.sharding.Sharding applied to every batch-led tensor
+        # entering the device programs (both directions).  With a
+        # NamedSharding over a mesh's data axis the whole codec runs
+        # batch-parallel across chips: encode and decode place inputs
+        # identically, so the shared conditioning programs still hit ONE
+        # compiled (SPMD) executable — the bit-exactness invariant holds
+        # under sharding (verified by parallel/codec.py).
+        self.placement = None
 
     # ---- shared jitted programs (identical executables on both sides) ----
 
@@ -619,11 +627,12 @@ class HESICFastCodec(HESICCodec):
         or (1, 3, 3).  Returns dict with 'blobs' (list of bytes per pair,
         or a single batch blob when batch_container=True) plus stats."""
         start = time.time()
-        x1 = jnp.asarray(x1, jnp.float32)
-        x2 = jnp.asarray(x2, jnp.float32)
+        x1 = self._place(jnp.asarray(x1, jnp.float32))
+        x2 = self._place(jnp.asarray(x2, jnp.float32))
         h_matrix = jnp.asarray(h_matrix, jnp.float32)
         if h_matrix.shape[0] != x1.shape[0]:
             h_matrix = jnp.broadcast_to(h_matrix, (x1.shape[0], 3, 3))
+        h_matrix = self._place(h_matrix)
 
         (y1_hat, y2_hat, z1_sym, z2_sym,
          _wov) = self._fn("transforms_enc")(self.params, x1, x2, h_matrix)
@@ -816,9 +825,22 @@ class HESICFastCodec(HESICCodec):
                                    z2_sym, h_matrix, y_shape, start,
                                    corr1, corr2)
 
+    def _place(self, t):
+        """Apply the optional batch-axis sharding (no-op by default)."""
+        if self.placement is None or t is None:
+            return t
+        import jax
+        return jax.device_put(t, self.placement)
+
     def _finish_decode(self, c1d, st1d, w1d, c2d, st2d, w2d, z1_sym,
                        z2_sym, h_matrix, y_shape, start,
                        corr1=None, corr2=None):
+        if self.placement is not None:
+            (c1d, st1d, w1d, c2d, st2d, w2d, z1_sym, z2_sym,
+             h_matrix) = (self._place(t) for t in (
+                 c1d, st1d, w1d, c2d, st2d, w2d, z1_sym, z2_sym, h_matrix))
+            corr1 = tuple(self._place(t) for t in corr1) if corr1 else corr1
+            corr2 = tuple(self._place(t) for t in corr2) if corr2 else corr2
         freq1, cen1 = self._cond1(z1_sym)
         y1_hat = self._decode_y(freq1, w1d, c1d, st1d, cen1, y_shape,
                                 corr1)

@@ -1,3 +1,4 @@
+from .codec import sharded_codec_roundtrip
 from .mesh import (DATA_AXIS, MODEL_AXIS, batch_sharding, make_mesh,
                    make_parallel_apply, make_parallel_train_step,
                    param_sharding, replicated, shard_batch, shard_params)
@@ -13,4 +14,5 @@ __all__ = [
     "replicated",
     "shard_batch",
     "shard_params",
+    "sharded_codec_roundtrip",
 ]

@@ -179,3 +179,15 @@ class TestMesh:
         # one more step to prove state shardings are stable
         state, metrics = step(state, sharded, jax.random.PRNGKey(3))
         assert np.isfinite(float(metrics["loss"]))
+
+
+class TestShardedCodec:
+    def test_sharded_codec_roundtrip_matches_single_device(self):
+        """Batch-parallel encode+decode over the 8-device mesh: bit-exact
+        roundtrip AND container bytes identical to the unsharded run
+        (SURVEY §7 step 9 / VERDICT r2 #5)."""
+        from hesic_tpu.parallel import sharded_codec_roundtrip
+        mesh = make_mesh((8, 1))
+        stats = sharded_codec_roundtrip(mesh)
+        assert stats["pairs"] == 8
+        assert stats["blob_bytes"] > 0
