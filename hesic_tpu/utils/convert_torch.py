@@ -479,3 +479,44 @@ def convert_state_dict(state_dict: Dict, arch: str) -> dict:
         raise ValueError(f"no converter for '{arch}' "
                          f"(available: {sorted(ARCH_CONVERTERS)})")
     return ARCH_CONVERTERS[arch](state_dict)
+
+
+def main(argv=None):
+    """CLI: torch checkpoint file -> hesic_tpu checkpoint file.
+
+        python -m hesic_tpu.utils.convert_torch ckpt.pth.tar \
+            --arch hesic -o model.pkl
+
+    The output is a codec-format pickle ({'params', 'config'}) loadable
+    by zoo.create_model(checkpoint=...) and the update_model/eval_model
+    CLIs — the file-level pretrained-checkpoint journey the reference
+    serves via torch.hub (zoo/image.py:157-341), minus the download.
+    """
+    import argparse
+    import pickle
+
+    parser = argparse.ArgumentParser(
+        description="Convert a PyTorch checkpoint to hesic_tpu format")
+    parser.add_argument("checkpoint")
+    parser.add_argument("--arch", required=True,
+                        choices=sorted(ARCH_CONVERTERS))
+    parser.add_argument("-o", "--output", required=True)
+    args = parser.parse_args(argv)
+
+    import torch
+
+    payload = torch.load(args.checkpoint, map_location="cpu",
+                         weights_only=False)
+    config = payload.get("config") if isinstance(payload, dict) else None
+    params = convert_state_dict(payload, args.arch)
+    state = {"params": params}
+    if config:
+        state["config"] = dict(config)
+    with open(args.output, "wb") as f:
+        pickle.dump(state, f)
+    print(args.output)
+    return args.output
+
+
+if __name__ == "__main__":
+    main()

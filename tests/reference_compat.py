@@ -107,7 +107,13 @@ def _install_stubs():
               warp_perspective=_torch_warp_perspective,
               get_perspective_transform=_torch_get_perspective_transform)
     if "range_coder" not in sys.modules:
-        _stub("range_coder", RangeEncoder=object, RangeDecoder=object,
+        # our range coder mirrors the pip package's API (path-backed
+        # construction, encode(list, cdf), decode(n, cdf)); injecting the
+        # real classes makes the reference's own compress/decompress
+        # runnable for the trained cross-implementation audit
+        from hesic_tpu.codecs.rans import RangeDecoder as _RD
+        from hesic_tpu.codecs.rans import RangeEncoder as _RE
+        _stub("range_coder", RangeEncoder=_RE, RangeDecoder=_RD,
               prob_to_cum_freq=None, cum_freq_to_prob=None)
     if "pytorch_msssim" not in sys.modules:
         _stub("pytorch_msssim", ms_ssim=None)
@@ -118,8 +124,13 @@ def _install_stubs():
               pmf_to_quantized_cdf=lambda pmf, prec: _pq(
                   np.asarray(pmf, np.float32), prec).tolist())
     if "compressai.ans" not in sys.modules:
-        _stub("compressai.ans", BufferedRansEncoder=object,
-              RansDecoder=object, RansEncoder=object)
+        # byte-identical to the reference pybind extension (proven by
+        # tests/fixtures/ref_rans_streams.npz), list-API compatible
+        from hesic_tpu.codecs.rans import BufferedRansEncoder as _BRE
+        from hesic_tpu.codecs.rans import RansDecoder as _RaD
+        from hesic_tpu.codecs.rans import RansEncoder as _RaE
+        _stub("compressai.ans", BufferedRansEncoder=_BRE,
+              RansDecoder=_RaD, RansEncoder=_RaE)
     if "compressai.version" not in sys.modules:
         _stub("compressai.version", __version__="1.0.0+ref")
 

@@ -1,0 +1,110 @@
+"""Train the REFERENCE torch HSIC (tiny) on synthetic stereo pairs (CPU).
+
+Produces tests/fixtures/ref_hsic_tiny.pth.tar — the trained-weights
+anchor for the cross-implementation RD audit at non-degenerate weights
+(tests/test_trained_parity.py) and for the file-level checkpoint
+pipeline demo (torch .pth.tar -> convert_torch -> update_model ->
+eval_model).  The reference model code is RUN from /root/reference (via
+tests/reference_compat stubs), never copied.
+
+Run once (deterministic; ~3 min on one CPU core):
+
+    JAX_PLATFORMS=cpu PYTHONPATH=/root/repo:/root/repo/tests \
+        python tools/train_ref_torch.py
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tests"))
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+N, M, K = 8, 16, 2
+SIZE = 128
+BATCH = 4
+STEPS = 300
+LMBDA = 1e-2
+OUT = os.path.join(os.path.dirname(__file__), "..", "tests", "fixtures",
+                   "ref_hsic_tiny.pth.tar")
+
+
+def smooth_pair_nchw(rng, hw):
+    """Low-pass random field + shifted copy (bench.py's _smooth_pair
+    statistics), NCHW float32 for torch."""
+    base = (0.5 + 0.25 * rng.randn(hw // 16 + 2, hw // 16 + 2, 3))
+    base = np.clip(base, 0, 1).astype(np.float32)
+    base = np.repeat(np.repeat(base, 2, 0), 2, 1)
+    idx = np.linspace(0, base.shape[0] - 1.001, hw)
+    xi = idx.astype(np.int32)
+    fi = (idx - xi).astype(np.float32)
+    rows = (base[xi] * (1 - fi)[:, None, None]
+            + base[xi + 1] * fi[:, None, None])
+    up = (rows[:, xi] * (1 - fi)[None, :, None]
+          + rows[:, xi + 1] * fi[None, :, None])
+    x1 = up.transpose(2, 0, 1)
+    x2 = np.roll(up, 3, axis=1).transpose(2, 0, 1) * 0.98 + 0.01
+    return x1[None], x2[None]
+
+
+def make_batch(rng, n, hw):
+    import torch
+    pairs = [smooth_pair_nchw(rng, hw) for _ in range(n)]
+    x1 = torch.from_numpy(np.concatenate([p[0] for p in pairs]))
+    x2 = torch.from_numpy(np.concatenate([p[1] for p in pairs]))
+    h = torch.eye(3).unsqueeze(0).repeat(n, 1, 1)
+    return x1, x2, h
+
+
+def main():
+    import torch
+
+    from reference_compat import load_reference
+
+    if not hasattr(np, "int"):        # the reference uses the removed alias
+        np.int = int
+    torch.manual_seed(0)
+    torch.set_num_threads(1)
+    ref = load_reference()
+
+    net = ref["newnet1"].HSIC(N=N, M=M, K=K)
+    opt = torch.optim.Adam(net.parameters(), lr=1e-4)
+    aux_opt = torch.optim.Adam(net.aux_parameters(), lr=1e-3)
+    mse = torch.nn.MSELoss()
+
+    rng = np.random.RandomState(7)
+    x1, x2, h = make_batch(rng, BATCH, SIZE)
+    num_pixels = BATCH * SIZE * SIZE
+
+    net.train()
+    for step in range(STEPS):
+        opt.zero_grad()
+        aux_opt.zero_grad()
+        out = net(x1, x2, h)
+        bpp = sum(torch.log(lk).sum() / (-math.log(2) * num_pixels)
+                  for lk in out["likelihoods"].values())
+        mse_loss = mse(out["x1_hat"], x1) + mse(out["x2_hat"], x2)
+        loss = LMBDA * 255 ** 2 * mse_loss + bpp
+        loss.backward()
+        opt.step()
+        aux = net.aux_loss()
+        aux.backward()
+        aux_opt.step()
+        if step % 25 == 0 or step == STEPS - 1:
+            print(f"step {step}: loss {float(loss):.3f} "
+                  f"bpp {float(bpp):.3f} mse {float(mse_loss):.5f} "
+                  f"aux {float(aux):.2f}", flush=True)
+
+    net.eval()
+    os.makedirs(os.path.dirname(OUT), exist_ok=True)
+    torch.save({"state_dict": net.state_dict(),
+                "config": {"N": N, "M": M, "K": K}}, OUT)
+    print("wrote", OUT, os.path.getsize(OUT), "bytes")
+
+
+if __name__ == "__main__":
+    main()
