@@ -208,8 +208,10 @@ def bench_dsic():
     n_batches = int(os.environ.get("BENCH_BATCHES", "4"))
     calib_steps = int(os.environ.get("BENCH_CALIB_STEPS", "60"))
     mm = int(os.environ.get("BENCH_MM", "16"))
+    use_bf16 = os.environ.get("BENCH_BF16", "1") == "1"
     rng = np.random.RandomState(0)
-    module = DSIC(N=128, M=192, F=21, C=32, K=5)
+    module = DSIC(N=128, M=192, F=21, C=32, K=5,
+                  dtype=jnp.bfloat16 if use_bf16 else None)
 
     if calib_steps > 0:
         def loss_fn(module, params, batch_d, rng_key):

@@ -275,6 +275,55 @@ def wavefront_valid_mask(hy: int, wy: int, b: int, groups: int, m: int):
 # codec-level wrappers
 # ---------------------------------------------------------------------------
 
+def _use_pallas_wavefront() -> bool:
+    """Mosaic level-scan kernel on real TPUs; the lax.scan elsewhere.
+
+    The two backends use different erfc implementations, so their
+    streams are NOT interchangeable — the device-codec containers carry
+    a backend byte and decode fails loudly on a mismatch."""
+    import os
+    if os.environ.get("HESIC_NO_PALLAS", "") == "1":
+        return False
+    return jax.default_backend() == "tpu"
+
+
+def wavefront_backend_id() -> int:
+    """Stream-format byte for the device-codec containers: 0 = lax.scan
+    (XLA erfc), 2 = Pallas level-scan (A&S erfc)."""
+    return 2 if _use_pallas_wavefront() else 0
+
+
+def check_wavefront_backend(blob: bytes) -> int:
+    tag = blob[0]
+    cur = wavefront_backend_id()
+    if tag != cur:
+        names = {0: "xla-scan", 2: "pallas-level-scan"}
+        raise ValueError(
+            f"wavefront container encoded with the "
+            f"{names.get(tag, f'unknown({tag})')} backend but this "
+            f"process uses {names[cur]}; decode on the matching backend "
+            "(HESIC_NO_PALLAS=1 selects the scan)")
+    return 1
+
+
+def _wavefront_wdtype():
+    # bf16 matmul operands on TPU halve the in-kernel weight footprint;
+    # f32 accumulation either way.  Static per-process, like the backend.
+    return jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
+
+
+def _run_wavefront(weights, pre, post, y_true, corr_mask, corr_val,
+                   words, counts, states, teacher, hy, wy, mm, groups):
+    if _use_pallas_wavefront():
+        from .pallas_wavefront import ar_wavefront_pallas
+        return ar_wavefront_pallas(
+            weights, pre, post, y_true, corr_mask, corr_val,
+            words, counts, states, teacher, hy, wy, mm, groups,
+            wdtype=_wavefront_wdtype())
+    return ar_wavefront(weights, pre, post, y_true, corr_mask, corr_val,
+                        words, counts, states, teacher, hy, wy, mm, groups)
+
+
 def wavefront_encode(weights, y, pre, post=None, mm: int = 16,
                      groups: int = 8):
     """Teacher-forced wavefront pass + reverse rANS encode.
@@ -290,7 +339,7 @@ def wavefront_encode(weights, y, pre, post=None, mm: int = 16,
     dummy_w = jnp.zeros((lanes, 1), jnp.int32)
     zl = jnp.zeros((lanes,), jnp.int32)
     zimg = jnp.zeros((b, hy, wy, m), jnp.int32)
-    starts, freqs, y_hat, resid = ar_wavefront(
+    starts, freqs, y_hat, resid = _run_wavefront(
         weights, pre, post, y, zimg, zimg, dummy_w, zl,
         zl.astype(jnp.uint32), jnp.bool_(True), hy, wy, mm, groups)
     valid = wavefront_valid_mask(hy, wy, b, groups, m)
@@ -311,7 +360,7 @@ def wavefront_decode(weights, pre, words, counts, states, post=None,
     if corr_mask is None:
         corr_mask, corr_val = zimg_i, zimg_i
     zimg_f = jnp.zeros((b, hy, wy, m), jnp.float32)
-    _, _, y_hat, _ = ar_wavefront(
+    _, _, y_hat, _ = _run_wavefront(
         weights, pre, post, zimg_f, corr_mask, corr_val,
         words.astype(jnp.int32), counts.astype(jnp.int32),
         states.astype(jnp.uint32), jnp.bool_(False), hy, wy, mm, groups)
@@ -358,6 +407,7 @@ class JointAutoregressiveDeviceCodec:
         idx = np.flatnonzero(np.abs(resid_np) > self.mm)
         from ..codecs.device_rans import pack_stream
         blob = bytearray()
+        blob += bytes([wavefront_backend_id()])
         blob += np.array([x.shape[0], x.shape[1], x.shape[2],
                           z.shape[1], z.shape[2]], np.uint32).tobytes()
         blob += np.array([idx.size], np.uint32).tobytes()
@@ -378,9 +428,9 @@ class JointAutoregressiveDeviceCodec:
         base = self.base
         blob = strings[0] if isinstance(strings, (list, tuple)) \
             else strings
-        off = 0
+        off = check_wavefront_backend(blob)
         b, h_img, w_img, zh, zw = (int(v) for v in
-                                   np.frombuffer(blob, np.uint32, 5, 0))
+                                   np.frombuffer(blob, np.uint32, 5, off))
         off += 20
         (n_esc,) = np.frombuffer(blob, np.uint32, 1, off)
         off += 4
@@ -506,6 +556,7 @@ class HESICPlusDeviceCodec:
             groups=self.groups)
 
         blob = bytearray()
+        blob += bytes([wavefront_backend_id()])
         blob += np.array([x1.shape[0], x1.shape[1], x1.shape[2],
                           z1.shape[1], z1.shape[2]], np.uint32).tobytes()
         blob += self._pack_escapes(np.asarray(r1), self.mm)
@@ -530,9 +581,10 @@ class HESICPlusDeviceCodec:
         base = self.base
         blob = strings[0] if isinstance(strings, (list, tuple)) \
             else strings
+        off = check_wavefront_backend(blob)
         b, h_img, w_img, zh, zw = (int(v) for v in
-                                   np.frombuffer(blob, np.uint32, 5, 0))
-        off = 20
+                                   np.frombuffer(blob, np.uint32, 5, off))
+        off += 20
         hy, wy = h_img // 16, w_img // 16
         m = self.w1.ctx_kernel.shape[2]
         shp = (b, hy, wy, m)

@@ -31,6 +31,7 @@ class Conv3D(nn.Module):
 
     features: int
     kernel_size: int = 5
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x):
@@ -41,11 +42,12 @@ class Conv3D(nn.Module):
             (k, k, k, x.shape[-1], self.features), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (self.features,),
                           jnp.float32)
+        d = self.dtype or x.dtype
         out = jax.lax.conv_general_dilated(
-            x, kernel, window_strides=(1, 1, 1),
+            x.astype(d), kernel.astype(d), window_strides=(1, 1, 1),
             padding=((p, p), (p, p), (p, p)),
             dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
-        return out + bias
+        return out + bias.astype(d)
 
 
 class Encoder1WithTaps(nn.Module):
@@ -54,13 +56,15 @@ class Encoder1WithTaps(nn.Module):
 
     N: int = 128
     M: int = 192
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x):
-        g1 = GDN()(Conv(self.N)(x))
-        g2 = GDN()(Conv(self.N)(g1))
-        g3 = GDN()(Conv(self.N)(g2))
-        y = Conv(self.M)(g3)
+        d = self.dtype
+        g1 = GDN(dtype=d)(Conv(self.N, dtype=d)(x))
+        g2 = GDN(dtype=d)(Conv(self.N, dtype=d)(g1))
+        g3 = GDN(dtype=d)(Conv(self.N, dtype=d)(g2))
+        y = Conv(self.M, dtype=d)(g3).astype(jnp.float32)
         return y, g1, g2, g3
 
 
@@ -69,13 +73,15 @@ class Decoder1WithTaps(nn.Module):
     (Decoder1, newnet1.py:603-624)."""
 
     N: int = 128
+    dtype: object = None
 
     @nn.compact
     def __call__(self, y_hat):
-        g4 = GDN(inverse=True)(Deconv(self.N)(y_hat))
-        g5 = GDN(inverse=True)(Deconv(self.N)(g4))
-        g6 = GDN(inverse=True)(Deconv(self.N)(g5))
-        x_hat = Deconv(3)(g6)
+        d = self.dtype
+        g4 = GDN(inverse=True, dtype=d)(Deconv(self.N, dtype=d)(y_hat))
+        g5 = GDN(inverse=True, dtype=d)(Deconv(self.N, dtype=d)(g4))
+        g6 = GDN(inverse=True, dtype=d)(Deconv(self.N, dtype=d)(g5))
+        x_hat = Deconv(3, dtype=d)(g6).astype(jnp.float32)
         return x_hat, g4, g5, g6
 
 
@@ -90,20 +96,22 @@ class GlobalContext(nn.Module):
     M: int = 192
     F: int = 21
     C: int = 32
+    dtype: object = None
 
     @nn.compact
     def __call__(self, y1_hat):
         fc = self.F * self.C
-        x = Conv(fc, stride=1)(y1_hat)
-        x = nn.GroupNorm(num_groups=self.F, epsilon=1e-5)(x)
+        d = self.dtype
+        x = Conv(fc, stride=1, dtype=d)(y1_hat)
+        x = nn.GroupNorm(num_groups=self.F, epsilon=1e-5, dtype=d)(x)
         x = nn.relu(x)
-        x = Conv(fc, stride=1)(x)
-        x = nn.GroupNorm(num_groups=self.F, epsilon=1e-5)(x)
+        x = Conv(fc, stride=1, dtype=d)(x)
+        x = nn.GroupNorm(num_groups=self.F, epsilon=1e-5, dtype=d)(x)
         x = nn.relu(x)
-        x = Conv(fc, stride=1)(x)
-        x = nn.GroupNorm(num_groups=self.F, epsilon=1e-5)(x)
+        x = Conv(fc, stride=1, dtype=d)(x)
+        x = nn.GroupNorm(num_groups=self.F, epsilon=1e-5, dtype=d)(x)
         x = nn.relu(x)
-        x = Conv(fc, stride=1)(x)
+        x = Conv(fc, stride=1, dtype=d)(x)
         b, h, w, _ = x.shape
         f0 = self.F // 3
         # channel layout (3, F0, C) like the reference reshape
@@ -121,16 +129,19 @@ class CostVolume(nn.Module):
     scale: int = 2
     F: int = 21
     C: int = 32
+    dtype: object = None
 
     @nn.compact
     def __call__(self, h1, h2, d):
+        dt = self.dtype
         # 2-D branch on concatenated features
-        h = jnp.concatenate([h1, h2], axis=-1)
-        h = Conv(self.N, stride=1)(h)
-        h = nn.GroupNorm(num_groups=4, epsilon=1e-5)(h)
+        h = jnp.concatenate([h1.astype(dt or h1.dtype),
+                             h2.astype(dt or h2.dtype)], axis=-1)
+        h = Conv(self.N, stride=1, dtype=dt)(h)
+        h = nn.GroupNorm(num_groups=4, epsilon=1e-5, dtype=dt)(h)
         h = nn.relu(h)
-        h = Conv(self.N, stride=1)(h)
-        h = nn.GroupNorm(num_groups=4, epsilon=1e-5)(h)
+        h = Conv(self.N, stride=1, dtype=dt)(h)
+        h = nn.GroupNorm(num_groups=4, epsilon=1e-5, dtype=dt)(h)
         h = nn.relu(h)
 
         # 3-D branch on the upsampled context volume (B, C, hy, wy, F0);
@@ -138,24 +149,24 @@ class CostVolume(nn.Module):
         # nn.UpsamplingBilinear2d (mynet6.py:207)
         b, c, hy, wy, f0 = d.shape
         d_up = _upsample_bilinear_align_corners(d, self.scale)
-        d3 = Conv3D(f0)(d_up)
-        d3 = nn.GroupNorm(num_groups=1, epsilon=1e-5)(d3)
+        d3 = Conv3D(f0, dtype=dt)(d_up)
+        d3 = nn.GroupNorm(num_groups=1, epsilon=1e-5, dtype=dt)(d3)
         d3 = nn.relu(d3)
-        d3 = Conv3D(f0)(d3)
-        d3 = nn.GroupNorm(num_groups=1, epsilon=1e-5)(d3)
+        d3 = Conv3D(f0, dtype=dt)(d3)
+        d3 = nn.GroupNorm(num_groups=1, epsilon=1e-5, dtype=dt)(d3)
         d3 = nn.relu(d3)
         # (B, C, H, W, F0) -> (B, H, W, F0*C) with channel layout f*C + c
         d2 = d3.transpose(0, 2, 3, 4, 1).reshape(
             b, hy * self.scale, wy * self.scale, f0 * c)
 
-        x = jnp.concatenate([h, d2], axis=-1)
-        x = Conv(self.N, stride=1)(x)
-        x = nn.GroupNorm(num_groups=4, epsilon=1e-5)(x)
+        x = jnp.concatenate([h, d2.astype(h.dtype)], axis=-1)
+        x = Conv(self.N, stride=1, dtype=dt)(x)
+        x = nn.GroupNorm(num_groups=4, epsilon=1e-5, dtype=dt)(x)
         x = nn.relu(x)
-        x = Conv(self.N, stride=1)(x)
-        x = nn.GroupNorm(num_groups=4, epsilon=1e-5)(x)
+        x = Conv(self.N, stride=1, dtype=dt)(x)
+        x = nn.GroupNorm(num_groups=4, epsilon=1e-5, dtype=dt)(x)
         x = nn.relu(x)
-        x = Conv(self.C, stride=1)(x)
+        x = Conv(self.C, stride=1, dtype=dt)(x)
         return jax.nn.softmax(x, axis=-1)
 
 
@@ -211,41 +222,43 @@ class DSIC(nn.Module):
     F: int = 21
     C: int = 32
     K: int = 5
+    dtype: object = None
 
     entropy_bottlenecks = ("entropy_bottleneck1", "entropy_bottleneck2")
 
     def setup(self):
         n, m, f, c, k = self.N, self.M, self.F, self.C, self.K
-        self.encoder1 = Encoder1WithTaps(N=n, M=m)
-        self.decoder1 = Decoder1WithTaps(N=n)
+        d = self.dtype
+        self.encoder1 = Encoder1WithTaps(N=n, M=m, dtype=d)
+        self.decoder1 = Decoder1WithTaps(N=n, dtype=d)
         # right-eye encoder/decoder stages with skip fusion
-        self.pic2_g_a_conv1 = Conv(n)
-        self.pic2_g_a_gdn1 = GDN()
-        self.pic2_g_a_conv2 = Conv(n)
-        self.pic2_g_a_gdn2 = GDN()
-        self.pic2_g_a_conv3 = Conv(n)
-        self.pic2_g_a_gdn3 = GDN()
-        self.pic2_g_a_conv4 = Conv(m)
-        self.pic2_g_s_conv1 = Deconv(n)
-        self.pic2_g_s_gdn1 = GDN(inverse=True)
-        self.pic2_g_s_conv2 = Deconv(n)
-        self.pic2_g_s_gdn2 = GDN(inverse=True)
-        self.pic2_g_s_conv3 = Deconv(n)
-        self.pic2_g_s_gdn3 = GDN(inverse=True)
-        self.pic2_g_s_conv4 = Deconv(3)
+        self.pic2_g_a_conv1 = Conv(n, dtype=d)
+        self.pic2_g_a_gdn1 = GDN(dtype=d)
+        self.pic2_g_a_conv2 = Conv(n, dtype=d)
+        self.pic2_g_a_gdn2 = GDN(dtype=d)
+        self.pic2_g_a_conv3 = Conv(n, dtype=d)
+        self.pic2_g_a_gdn3 = GDN(dtype=d)
+        self.pic2_g_a_conv4 = Conv(m, dtype=d)
+        self.pic2_g_s_conv1 = Deconv(n, dtype=d)
+        self.pic2_g_s_gdn1 = GDN(inverse=True, dtype=d)
+        self.pic2_g_s_conv2 = Deconv(n, dtype=d)
+        self.pic2_g_s_gdn2 = GDN(inverse=True, dtype=d)
+        self.pic2_g_s_conv3 = Deconv(n, dtype=d)
+        self.pic2_g_s_gdn3 = GDN(inverse=True, dtype=d)
+        self.pic2_g_s_conv4 = Deconv(3, dtype=d)
 
-        self.global_context = GlobalContext(M=m, F=f, C=c)
-        self.cost_volume1 = CostVolume(N=n, scale=8, F=f, C=c)
-        self.cost_volume2 = CostVolume(N=n, scale=4, F=f, C=c)
-        self.cost_volume3 = CostVolume(N=n, scale=2, F=f, C=c)
-        self.cost_volume4 = CostVolume(N=n, scale=2, F=f, C=c)
-        self.cost_volume5 = CostVolume(N=n, scale=4, F=f, C=c)
-        self.cost_volume6 = CostVolume(N=n, scale=8, F=f, C=c)
+        self.global_context = GlobalContext(M=m, F=f, C=c, dtype=d)
+        self.cost_volume1 = CostVolume(N=n, scale=8, F=f, C=c, dtype=d)
+        self.cost_volume2 = CostVolume(N=n, scale=4, F=f, C=c, dtype=d)
+        self.cost_volume3 = CostVolume(N=n, scale=2, F=f, C=c, dtype=d)
+        self.cost_volume4 = CostVolume(N=n, scale=2, F=f, C=c, dtype=d)
+        self.cost_volume5 = CostVolume(N=n, scale=4, F=f, C=c, dtype=d)
+        self.cost_volume6 = CostVolume(N=n, scale=8, F=f, C=c, dtype=d)
 
-        self.h_a1 = HyperEncoder(N=n)
-        self.h_a2 = HyperEncoder(N=n)
-        self.h_s1 = GmmHyperY1(N=n, M=m, K=k)
-        self.h_s2 = GmmHyperY2(N=n, M=m, K=k)
+        self.h_a1 = HyperEncoder(N=n, dtype=d)
+        self.h_a2 = HyperEncoder(N=n, dtype=d)
+        self.h_s1 = GmmHyperY1(N=n, M=m, K=k, dtype=d)
+        self.h_s2 = GmmHyperY2(N=n, M=m, K=k, dtype=d)
         self.entropy_bottleneck1 = EntropyBottleneck(channels=n)
         self.entropy_bottleneck2 = EntropyBottleneck(channels=n)
         self.gaussian1 = GaussianMixtureConditional(K=k)
@@ -290,7 +303,8 @@ class DSIC(nn.Module):
             self.pic2_g_a_conv3(jnp.concatenate([warp2, a2], axis=-1)))
         cost3 = self.cost_volume3(g1_3, a3, contexts[2])
         warp3 = dense_warp(g1_3, cost3)
-        return self.pic2_g_a_conv4(jnp.concatenate([warp3, a3], axis=-1))
+        y2 = self.pic2_g_a_conv4(jnp.concatenate([warp3, a3], axis=-1))
+        return y2.astype(jnp.float32)
 
     def synthesis2(self, y2_hat, g1_4, g1_5, g1_6, contexts):
         """Right-eye decoder with cost-volume warps of left decoder taps."""
@@ -305,7 +319,8 @@ class DSIC(nn.Module):
             self.pic2_g_s_conv3(jnp.concatenate([warp5, s2], axis=-1)))
         cost6 = self.cost_volume6(g1_6, s3, contexts[0])
         warp6 = dense_warp(g1_6, cost6)
-        return self.pic2_g_s_conv4(jnp.concatenate([warp6, s3], axis=-1))
+        x2 = self.pic2_g_s_conv4(jnp.concatenate([warp6, s3], axis=-1))
+        return x2.astype(jnp.float32)
 
     def __call__(self, x1, x2, training: bool = False):
         y1, g1_1, g1_2, g1_3 = self.encoder1(x1)
@@ -359,11 +374,13 @@ class DSICPlus(nn.Module):
     F: int = 21
     C: int = 32
     K: int = 5
+    dtype: object = None
 
     entropy_bottlenecks = ("m1/entropy_bottleneck1", "m1/entropy_bottleneck2")
 
     def setup(self):
-        self.m1 = DSIC(N=self.N, M=self.M, F=self.F, C=self.C, K=self.K)
+        self.m1 = DSIC(N=self.N, M=self.M, F=self.F, C=self.C, K=self.K,
+                       dtype=self.dtype)
         self.m2 = IndependentEnhancementNoWarp()
 
     def aux_loss(self):

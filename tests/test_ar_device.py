@@ -59,7 +59,10 @@ class TestWavefrontRoundtrip:
         x = jnp.asarray(rng.rand(1, 64, 64, 3) * 4 - 1.5, jnp.float32)
         out = codec.compress(x)
         blob = out["strings"][0]
-        (n_esc,) = np.frombuffer(blob, np.uint32, 1, 12)
+        # 1 B backend tag + 5 x u32 header -> escape count at offset 21
+        # (the pre-r3 version of this check read mid-header and was
+        # trivially true)
+        (n_esc,) = np.frombuffer(blob, np.uint32, 1, 21)
         assert n_esc > 0, "test setup: no escapes triggered"
         rec = codec.decompress(out["strings"])
         np.testing.assert_array_equal(np.asarray(rec["y_hat"]),
