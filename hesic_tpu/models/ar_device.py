@@ -328,8 +328,12 @@ def wavefront_encode(weights, y, pre, post=None, mm: int = 16,
                      groups: int = 8):
     """Teacher-forced wavefront pass + reverse rANS encode.
 
-    Returns (words (L, cap) int32, counts (L,), states (L,) uint32,
-    y_hat (B, hy, wy, M) float32, resid (B, hy, wy, M) int32)."""
+    Returns (words (L, cap) int32, counts (L,) numpy int32,
+    states (L,) uint32, y_hat (B, hy, wy, M) float32,
+    resid (B, hy, wy, M) int32, n_escapes int).  counts come back on the
+    host (the overflow check already pays the sync) together with the
+    escape count, so callers never fetch the full resid tensor unless
+    escapes exist (the eager fetch measured 381 ms over the tunnel)."""
     from ..codecs.device_rans import rans_encode_grid
     b, hy, wy, m = y.shape
     if post is None:
@@ -343,9 +347,25 @@ def wavefront_encode(weights, y, pre, post=None, mm: int = 16,
         weights, pre, post, y, zimg, zimg, dummy_w, zl,
         zl.astype(jnp.uint32), jnp.bool_(True), hy, wy, mm, groups)
     valid = wavefront_valid_mask(hy, wy, b, groups, m)
-    words, counts, states = rans_encode_grid(
-        starts.astype(jnp.uint32), freqs.astype(jnp.uint32), valid)
-    return words, counts, states, y_hat, resid
+    n_over_dev = jnp.sum(jnp.abs(resid) > mm)
+    if _use_pallas_wavefront():
+        # Mosaic pairs encoder: the lax.scan version of this walk
+        # (T ~ 1000 sequential slots) measured ~1.1 s per call
+        from ..codecs.pallas_rans import rans_encode_pairs_pallas
+        cap = 256
+        while True:
+            words, counts, states = rans_encode_pairs_pallas(
+                starts.astype(jnp.uint32), freqs.astype(jnp.uint32),
+                valid, cap=cap)
+            counts_np, n_over = jax.device_get((counts, n_over_dev))
+            if int(counts_np.max()) <= cap:
+                break
+            cap *= 2    # pathological payload: recompile with more room
+    else:
+        words, counts, states = rans_encode_grid(
+            starts.astype(jnp.uint32), freqs.astype(jnp.uint32), valid)
+        counts_np, n_over = jax.device_get((counts, n_over_dev))
+    return words, counts_np, states, y_hat, resid, int(n_over)
 
 
 def wavefront_decode(weights, pre, words, counts, states, post=None,
@@ -399,12 +419,18 @@ class JointAutoregressiveDeviceCodec:
         z_hat = base.eb_decompress("entropy_bottleneck", z_strings,
                                    z.shape[1:3])
         pre = base.jit("hyper_synthesis")(z_hat)
-        words, counts, states, y_hat, resid = wavefront_encode(
+        words, counts, states, y_hat, resid, n_over = wavefront_encode(
             self.weights, y, pre, mm=self.mm, groups=self.groups)
 
-        # escape side-channel (exact out-of-grid residuals)
-        resid_np = np.asarray(resid).reshape(-1)
-        idx = np.flatnonzero(np.abs(resid_np) > self.mm)
+        # escape side-channel (exact out-of-grid residuals); the full
+        # resid tensor crosses the link only when escapes exist
+        if n_over:
+            resid_np = np.asarray(resid).reshape(-1)
+            idx = np.flatnonzero(np.abs(resid_np) > self.mm)
+            vals = resid_np[idx].astype(np.int32)
+        else:
+            idx = np.zeros(0, np.uint32)
+            vals = np.zeros(0, np.int32)
         from ..codecs.device_rans import pack_stream
         blob = bytearray()
         blob += bytes([wavefront_backend_id()])
@@ -412,7 +438,7 @@ class JointAutoregressiveDeviceCodec:
                           z.shape[1], z.shape[2]], np.uint32).tobytes()
         blob += np.array([idx.size], np.uint32).tobytes()
         blob += idx.astype(np.uint32).tobytes()
-        blob += resid_np[idx].astype(np.int32).tobytes()
+        blob += vals.tobytes()
         for s in z_strings:
             blob += np.array([len(s)], np.uint32).tobytes() + s
         blob += pack_stream(words, counts, states)
@@ -539,7 +565,7 @@ class HESICPlusDeviceCodec:
         z1_hat = base.eb_decompress("entropy_bottleneck1", z1_strings,
                                     z1.shape[1:3])
         pre1 = base.jit("hyper_synthesis1")(z1_hat)
-        wo1, c1, st1, y1_hat, r1 = wavefront_encode(
+        wo1, c1, st1, y1_hat, r1, n1 = wavefront_encode(
             self.w1, y1, pre1, mm=self.mm, groups=self.groups)
         x1_hat = base.jit("synthesis1")(y1_hat)
 
@@ -551,7 +577,7 @@ class HESICPlusDeviceCodec:
                                     z2.shape[1:3])
         pre2 = base.jit("hyper_synthesis2")(z2_hat)
         y1_prior = base.jit("left_prior")(x1_hat, h_matrix)
-        wo2, c2, st2, y2_hat, r2 = wavefront_encode(
+        wo2, c2, st2, y2_hat, r2, n2 = wavefront_encode(
             self.w2, y2, pre2, post=y1_prior, mm=self.mm,
             groups=self.groups)
 
@@ -559,8 +585,12 @@ class HESICPlusDeviceCodec:
         blob += bytes([wavefront_backend_id()])
         blob += np.array([x1.shape[0], x1.shape[1], x1.shape[2],
                           z1.shape[1], z1.shape[2]], np.uint32).tobytes()
-        blob += self._pack_escapes(np.asarray(r1), self.mm)
-        blob += self._pack_escapes(np.asarray(r2), self.mm)
+        # the full resid tensors cross the link only when escapes exist
+        empty = np.zeros((0,), np.int32)
+        blob += self._pack_escapes(
+            np.asarray(r1) if n1 else empty, self.mm)
+        blob += self._pack_escapes(
+            np.asarray(r2) if n2 else empty, self.mm)
         for strs in (z1_strings, z2_strings):
             for s in strs:
                 blob += np.array([len(s)], np.uint32).tobytes() + s

@@ -63,7 +63,7 @@ def _kernel(teacher_ref, pre_ref, post_ref, ytrue_ref, cmask_ref, cval_ref,
             tapk_ref, ctxb_ref, w0_ref, b0_ref, w1_ref, b1_ref,
             w2_ref, b2_ref,
             starts_ref, freqs_ref, ylv_ref, residlv_ref,
-            ybuf, pmf_s, x_s, p_s,
+            ybuf, pmf_s, x_s, p_s, symdec_s,
             *, b, p_max, m, mg, groups, mm, hy, wy, rows, wdtype):
     s = pl.program_id(0)
     r_dim = b * p_max
@@ -130,71 +130,80 @@ def _kernel(teacher_ref, pre_ref, post_ref, ytrue_ref, cmask_ref, cval_ref,
         prev = cur
     qscale = float(_TOTAL) / jnp.maximum(total, 1e-30)
 
-    # ---- quantize pass: teacher intervals + deficit bookkeeping ----
-    # (freq_s recomputed identically in the decode pass below: both read
-    # the same stored pmf and the same qscale — bit-exact by construction)
+    # ---- quantize bookkeeping (both directions need amax/deficit) ----
+    # (freq_s is recomputed identically in both passes below from the
+    # same stored pmf and qscale — bit-exact by construction)
     zero = jnp.zeros((m, r_dim), jnp.int32)
-    start_t, freq_t, sumf, maxf = zero, zero, zero, zero
-    amax = zero
+    sumf, maxf, amax = zero, zero, zero
     for si in range(s_dim):
         f_s = jnp.maximum(jnp.floor(pmf_s[si] * qscale), 1.0).astype(
             jnp.int32)
         is_new = f_s > maxf
         amax = jnp.where(is_new, si, amax)
         maxf = jnp.maximum(maxf, f_s)
-        start_t = start_t + jnp.where(si < sym_teach, f_s, 0)
-        freq_t = jnp.where(si == sym_teach, f_s, freq_t)
         sumf = sumf + f_s
     deficit = _TOTAL - sumf
-    starts_ref[0] = start_t + jnp.where(amax < sym_teach, deficit, 0)
-    freqs_ref[0] = freq_t + jnp.where(amax == sym_teach, deficit, 0)
 
-    # ---- decode pass: per-group rANS transitions ----
+    # ---- teacher-only: interval extraction for the external encoder ----
+    @pl.when(teacher)
+    def _teacher_pass():
+        start_t, freq_t = zero, zero
+        for si in range(s_dim):
+            f_s = jnp.maximum(jnp.floor(pmf_s[si] * qscale),
+                              1.0).astype(jnp.int32)
+            start_t = start_t + jnp.where(si < sym_teach, f_s, 0)
+            freq_t = jnp.where(si == sym_teach, f_s, freq_t)
+        starts_ref[0] = start_t + jnp.where(amax < sym_teach, deficit, 0)
+        freqs_ref[0] = freq_t + jnp.where(amax == sym_teach, deficit, 0)
+
+    # ---- decode-only: per-group rANS transitions ----
     r_iota = jax.lax.broadcasted_iota(jnp.int32, (mg, r_dim), 1)
     valid = (r_iota // b) < cnt                         # (Mg, R) lanes
-    not_teacher = jnp.logical_not(teacher)
     cap = words_ref.shape[0]
     iota_c = jax.lax.broadcasted_iota(jnp.int32, (cap, mg, r_dim), 0)
-    x = x_s[...]
-    p = p_s[...]
-    dec_slabs = []
-    for gi in range(groups):
-        sl = slice(gi * mg, (gi + 1) * mg)
-        qs_g = qscale[sl]
-        amax_g = amax[sl]
-        def_g = deficit[sl]
-        cf = (x & jnp.uint32(_U16)).astype(jnp.int32)   # (Mg, R)
-        c_run = jnp.zeros((mg, r_dim), jnp.int32)
-        sym = jnp.zeros((mg, r_dim), jnp.int32)
-        start_i = jnp.zeros((mg, r_dim), jnp.int32)
-        nxt = jnp.full((mg, r_dim), _TOTAL, jnp.int32)
-        for si in range(s_dim):
-            f_s = jnp.maximum(jnp.floor(pmf_s[si, sl] * qs_g),
-                              1.0).astype(jnp.int32)
-            f_s = f_s + jnp.where(si == amax_g, def_g, 0)
-            c_run = c_run + f_s
-            le = c_run <= cf
-            sym = sym + le.astype(jnp.int32)
-            start_i = jnp.maximum(start_i, c_run * le.astype(jnp.int32))
-            nxt = jnp.minimum(nxt, jnp.where(le, jnp.int32(_TOTAL), c_run))
-        f_d = (nxt - start_i).astype(jnp.uint32)
-        x_new = f_d * (x >> PROB_BITS) + cf.astype(jnp.uint32) \
-            - start_i.astype(jnp.uint32)
-        need = x_new < jnp.uint32(_RANS_L)
-        p_read = jnp.maximum(p - 1, 0)
-        word = jnp.sum(
-            jnp.where(iota_c == p_read[None], words_ref[...], 0),
-            axis=0).astype(jnp.uint32)
-        x_new = jnp.where(need, (x_new << PROB_BITS) | word, x_new)
-        active = jnp.logical_and(not_teacher, valid)
-        x = jnp.where(active, x_new, x)
-        p = jnp.where(active & need, p - 1, p)
-        dec_slabs.append(sym)
-    x_s[...] = x
-    p_s[...] = p
-    sym_dec = jnp.concatenate(dec_slabs, axis=0)        # (M, R)
+
+    @pl.when(jnp.logical_not(teacher))
+    def _decode_pass():
+        x = x_s[...]
+        p = p_s[...]
+        for gi in range(groups):
+            sl = slice(gi * mg, (gi + 1) * mg)
+            qs_g = qscale[sl]
+            amax_g = amax[sl]
+            def_g = deficit[sl]
+            cf = (x & jnp.uint32(_U16)).astype(jnp.int32)   # (Mg, R)
+            c_run = jnp.zeros((mg, r_dim), jnp.int32)
+            sym = jnp.zeros((mg, r_dim), jnp.int32)
+            start_i = jnp.zeros((mg, r_dim), jnp.int32)
+            nxt = jnp.full((mg, r_dim), _TOTAL, jnp.int32)
+            for si in range(s_dim):
+                f_s = jnp.maximum(jnp.floor(pmf_s[si, sl] * qs_g),
+                                  1.0).astype(jnp.int32)
+                f_s = f_s + jnp.where(si == amax_g, def_g, 0)
+                c_run = c_run + f_s
+                le = c_run <= cf
+                sym = sym + le.astype(jnp.int32)
+                start_i = jnp.maximum(start_i,
+                                      c_run * le.astype(jnp.int32))
+                nxt = jnp.minimum(nxt,
+                                  jnp.where(le, jnp.int32(_TOTAL), c_run))
+            f_d = (nxt - start_i).astype(jnp.uint32)
+            x_new = f_d * (x >> PROB_BITS) + cf.astype(jnp.uint32) \
+                - start_i.astype(jnp.uint32)
+            need = x_new < jnp.uint32(_RANS_L)
+            p_read = jnp.maximum(p - 1, 0)
+            word = jnp.sum(
+                jnp.where(iota_c == p_read[None], words_ref[...], 0),
+                axis=0).astype(jnp.uint32)
+            x_new = jnp.where(need, (x_new << PROB_BITS) | word, x_new)
+            x = jnp.where(valid, x_new, x)
+            p = jnp.where(valid & need, p - 1, p)
+            symdec_s[sl] = sym
+        x_s[...] = x
+        p_s[...] = p
 
     # ---- select, correct, emit ----
+    sym_dec = symdec_s[...]                             # (M, R)
     sym_sel = jnp.where(teacher, sym_teach, sym_dec)
     resid = sym_sel - mm
     resid = jnp.where(teacher, resid_true,
@@ -348,6 +357,7 @@ def ar_wavefront_pallas(weights, pre, post, y_true, corr_mask, corr_val,
             pltpu.VMEM((s_dim, m, r_dim), jnp.float32),
             pltpu.VMEM((mg, r_dim), jnp.uint32),
             pltpu.VMEM((mg, r_dim), jnp.int32),
+            pltpu.VMEM((m, r_dim), jnp.int32),
         ],
         interpret=interpret,
     )(*inputs)
@@ -385,10 +395,10 @@ def _kernel_nopost(teacher_ref, pre_ref, ytrue_ref, cmask_ref, cval_ref,
                    tapk_ref, ctxb_ref, w0_ref, b0_ref, w1_ref, b1_ref,
                    w2_ref, b2_ref,
                    starts_ref, freqs_ref, ylv_ref, residlv_ref,
-                   ybuf, pmf_s, x_s, p_s, **kw):
+                   ybuf, pmf_s, x_s, p_s, symdec_s, **kw):
     _kernel(teacher_ref, pre_ref, None, ytrue_ref, cmask_ref, cval_ref,
             words_ref, counts_ref, states_ref,
             tapk_ref, ctxb_ref, w0_ref, b0_ref, w1_ref, b1_ref,
             w2_ref, b2_ref,
             starts_ref, freqs_ref, ylv_ref, residlv_ref,
-            ybuf, pmf_s, x_s, p_s, **kw)
+            ybuf, pmf_s, x_s, p_s, symdec_s, **kw)

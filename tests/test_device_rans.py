@@ -200,3 +200,101 @@ class TestPallasPmfKernel:
         # distributions agree to ~erfc-approximation accuracy
         assert np.abs(fp - fx).max() <= 64
         assert np.abs(fp - fx).mean() < 2.0
+
+
+class TestPallasPplEquivalence:
+    """ppl > 1 (several positions per rANS lane) must produce streams
+    bit-identical to the scan coder under the (m*ppl + j, b*ls + λ)
+    slot/lane mapping, and roundtrip exactly."""
+
+    def _case(self, seed, b, m, s, hw):
+        rng = np.random.RandomState(seed)
+        pmf = rng.dirichlet(np.ones(s) * 0.4,
+                            size=b * m * hw).astype(np.float32)
+        freq = np.asarray(quantize_pmf_device(jnp.asarray(pmf)))
+        freq = freq.reshape(b, m, hw, s).transpose(0, 1, 3, 2)
+        sym = rng.randint(0, s, size=(b, m, hw)).astype(np.int32)
+        return jnp.asarray(freq), jnp.asarray(sym)
+
+    @pytest.mark.parametrize("ppl", [2, 4])
+    def test_encode_matches_scan_mapping(self, ppl):
+        from hesic_tpu.codecs.device_rans import rans_encode_grid
+        from hesic_tpu.codecs.pallas_rans import rans_encode_grid_pallas
+        b, m, s, hw = 2, 6, 9, 16
+        ls = hw // ppl
+        freq, sym = self._case(1, b, m, s, hw)
+        words_p, counts_p, states_p = rans_encode_grid_pallas(
+            freq, sym.transpose(1, 0, 2), ppl=ppl, cap=m * ppl + 2,
+            interpret=True)
+
+        iota = jnp.arange(s, dtype=jnp.int32).reshape(1, 1, s, 1)
+        sym4 = sym.reshape(b, m, 1, hw)
+        start = jnp.sum(freq * (iota < sym4), axis=2)
+        frs = jnp.sum(freq * (iota == sym4), axis=2)
+
+        def grid_layout(t):
+            t = t.reshape(b, m, ppl, ls).transpose(1, 2, 0, 3)
+            return t.reshape(m * ppl, b * ls)
+
+        valid = jnp.ones((m * ppl, b * ls), bool)
+        buf_x, counts_x, states_x = rans_encode_grid(
+            grid_layout(start).astype(jnp.uint32),
+            grid_layout(frs).astype(jnp.uint32), valid)
+        assert np.array_equal(np.asarray(counts_p).reshape(-1),
+                              np.asarray(counts_x))
+        assert np.array_equal(np.asarray(states_p).reshape(-1),
+                              np.asarray(states_x))
+        cap_x = buf_x.shape[1]
+        flat_p = np.asarray(words_p)[:, :cap_x, :].transpose(
+            0, 2, 1).reshape(b * ls, cap_x)
+        mask = np.arange(cap_x) < np.asarray(counts_x)[:, None]
+        assert np.array_equal(flat_p[mask], np.asarray(buf_x)[mask])
+
+    @pytest.mark.parametrize("ppl", [2, 4])
+    def test_roundtrip(self, ppl):
+        from hesic_tpu.codecs.pallas_rans import (rans_decode_grid_pallas,
+                                                  rans_encode_grid_pallas)
+        b, m, s, hw = 2, 6, 9, 16
+        freq, sym = self._case(2, b, m, s, hw)
+        words, counts, states = rans_encode_grid_pallas(
+            freq, sym.transpose(1, 0, 2), ppl=ppl, cap=m * ppl + 2,
+            interpret=True)
+        dec = rans_decode_grid_pallas(
+            freq, words, counts, states, ppl=ppl, interpret=True)
+        np.testing.assert_array_equal(
+            np.asarray(dec.transpose(1, 0, 2)), np.asarray(sym))
+
+
+class TestPallasPairsEncoder:
+    def test_matches_scan_on_slot_stream(self):
+        """The Mosaic pairs encoder (wavefront slot stream) must be
+        bit-identical to rans_encode_grid, including invalid-lane
+        skipping and lane padding to a multiple of 8."""
+        from hesic_tpu.codecs.device_rans import (rans_encode_grid,
+                                                  rans_decode_grid)
+        from hesic_tpu.codecs.pallas_rans import rans_encode_pairs_pallas
+        rng = np.random.RandomState(4)
+        t_dim, l_dim, s = 40, 21, 9   # 21 lanes: exercises the pad path
+        pmf = rng.dirichlet(np.ones(s) * 0.5,
+                            size=t_dim * l_dim).astype(np.float32)
+        freq = np.asarray(quantize_pmf_device(jnp.asarray(pmf)))
+        freq = freq.reshape(t_dim, l_dim, s)
+        sym = rng.randint(0, s, size=(t_dim, l_dim))
+        starts = np.take_along_axis(np.concatenate(
+            [np.zeros((t_dim, l_dim, 1), np.int64),
+             np.cumsum(freq, axis=-1)], -1), sym[..., None], -1)[..., 0]
+        frs = np.take_along_axis(freq, sym[..., None], -1)[..., 0]
+        valid = rng.rand(t_dim, l_dim) > 0.2
+
+        w_x, c_x, s_x = rans_encode_grid(
+            jnp.asarray(starts, jnp.uint32), jnp.asarray(frs, jnp.uint32),
+            jnp.asarray(valid))
+        w_p, c_p, s_p = rans_encode_pairs_pallas(
+            jnp.asarray(starts, jnp.uint32), jnp.asarray(frs, jnp.uint32),
+            jnp.asarray(valid), cap=64, interpret=True)
+        np.testing.assert_array_equal(np.asarray(c_p), np.asarray(c_x))
+        np.testing.assert_array_equal(np.asarray(s_p), np.asarray(s_x))
+        cap_x = w_x.shape[1]
+        mask = np.arange(cap_x) < np.asarray(c_x)[:, None]
+        np.testing.assert_array_equal(
+            np.asarray(w_p)[:, :cap_x][mask], np.asarray(w_x)[mask])

@@ -202,3 +202,31 @@ class TestNonSquareFast:
             np.asarray(rec["y1_hat"]).astype(np.int64), np.asarray(enc[0]))
         np.testing.assert_array_equal(
             np.asarray(rec["y2_hat"]).astype(np.int64), np.asarray(enc[1]))
+
+
+class TestPplLaneFolding:
+    def test_roundtrip_256_with_ppl2(self):
+        """At 256² the auto ppl folds 2 positions per lane (lanes 256 ->
+        128), cutting the container's per-lane overhead in half; the
+        roundtrip must stay bit-exact and the container must record the
+        folded lane count."""
+        rng = np.random.RandomState(3)
+        x1 = jnp.asarray(rng.rand(1, 256, 256, 3), jnp.float32)
+        x2 = jnp.asarray(rng.rand(1, 256, 256, 3), jnp.float32)
+        h = jnp.eye(3, dtype=jnp.float32)[None]
+        module = HESIC(N=8, M=16, K=2)
+        codec = HESICFastCodec.init(module, [x1.shape, x2.shape, h.shape])
+        codec = HESICFastCodec(codec.module, codec.params, mm=8,
+                               codec_batch=1)
+        codec.update()
+        out = codec.compress_fast(x1, x2, h, batch_container=True)
+        lanes = int(np.frombuffer(out["blob"], np.uint32, 4, 1)[3])
+        assert lanes == 128  # 256 positions / ppl 2
+        rec = codec.decompress_fast_batch(out["blob"])
+        y1h, y2h = codec._fn("transforms_enc")(codec.params, x1, x2, h)[:2]
+        np.testing.assert_array_equal(
+            np.asarray(rec["y1_hat"]),
+            np.asarray(y1h).astype(np.float32))
+        np.testing.assert_array_equal(
+            np.asarray(rec["y2_hat"]),
+            np.asarray(y2h).astype(np.float32))
