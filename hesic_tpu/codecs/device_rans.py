@@ -254,8 +254,36 @@ def intervals_from_freq(freq, symbols):
 # host-side container packing
 # ---------------------------------------------------------------------------
 
+def pack_counts(counts) -> bytes:
+    """Per-lane word counts, delta-coded: u8 mode | mode 1: u16 base +
+    u8 deltas[L] (counts cluster tightly around the mean; spread < 256
+    in practice) | mode 0 fallback: u16 counts[L]."""
+    counts = np.asarray(counts, np.int64)
+    base = int(counts.min())
+    if counts.size and int(counts.max()) - base < 256 and base <= 0xFFFF:
+        return (b"\x01" + np.uint16(base).tobytes()
+                + (counts - base).astype(np.uint8).tobytes())
+    return b"\x00" + counts.astype(np.uint16).tobytes()
+
+
+def unpack_counts(blob: bytes, offset: int, lanes: int):
+    mode = blob[offset]
+    offset += 1
+    if mode == 1:
+        base = int(np.frombuffer(blob, np.uint16, 1, offset)[0])
+        offset += 2
+        counts = base + np.frombuffer(blob, np.uint8, lanes,
+                                      offset).astype(np.int32)
+        offset += lanes
+    else:
+        counts = np.frombuffer(blob, np.uint16, lanes,
+                               offset).astype(np.int32)
+        offset += 2 * lanes
+    return counts, offset
+
+
 def pack_stream(words, counts, states) -> bytes:
-    """Serialize an interleaved stream: u16 L | u16 counts[L] |
+    """Serialize an interleaved stream: u16 L | delta-coded counts |
     u32 states[L] | concatenated u16 words (lane-major, vectorized)."""
     words = np.asarray(words)
     counts = np.asarray(counts, np.int64)
@@ -263,9 +291,8 @@ def pack_stream(words, counts, states) -> bytes:
     lanes, cap = words.shape
     mask = np.arange(cap) < counts[:, None]
     payload = words[mask].astype(np.uint16).tobytes()
-    return (np.uint16(lanes).tobytes()
-            + counts.astype(np.uint16).tobytes() + states.tobytes()
-            + payload)
+    return (np.uint16(lanes).tobytes() + pack_counts(counts)
+            + states.tobytes() + payload)
 
 
 def unpack_stream(blob: bytes, offset: int = 0):
@@ -273,8 +300,7 @@ def unpack_stream(blob: bytes, offset: int = 0):
     next_offset); words padded to the max lane length."""
     lanes = int(np.frombuffer(blob, np.uint16, 1, offset)[0])
     offset += 2
-    counts = np.frombuffer(blob, np.uint16, lanes, offset).astype(np.int32)
-    offset += 2 * lanes
+    counts, offset = unpack_counts(blob, offset, lanes)
     states = np.frombuffer(blob, np.uint32, lanes, offset).copy()
     offset += 4 * lanes
     cap = max(int(counts.max()), 1)

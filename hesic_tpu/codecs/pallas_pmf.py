@@ -99,12 +99,14 @@ def _pmf_kernel(cen_ref, mu_ref, sc_ref, w_ref, freq_ref, pmf_s,
 
 @functools.partial(jax.jit,
                    static_argnames=("mm", "k", "interpret"))
-def gmm_freq_pallas(sigma, means, weights, mm: int, k: int,
+def gmm_freq_pallas(sigma, means, weights, mm: int, k: int, center=None,
                     interpret: bool = False):
     """Drop-in Pallas version of models/hesic_fast._gmm_freq_fast.
 
     sigma/means: (B, h, w, M*K) head outputs (channel k*M+m);
-    weights: same, or (B, 1, 1, M*K) for the spatially-pooled head.
+    weights: same, or (B, 1, 1, M*K) for the spatially-pooled head;
+    center: optional (B, M) int32 grid centers (data-derived; when None
+    the prediction-derived centers are computed here in XLA).
     Returns (freq (B, M, S, hw) int32, center (B, M) int32).
     """
     b, h, w, mk = sigma.shape
@@ -127,9 +129,11 @@ def gmm_freq_pallas(sigma, means, weights, mm: int, k: int,
     # (same op order as _gmm_freq_fast, so the two backends agree on the
     # grids); keeping them out of the kernel is what lets the grid chunk
     # the spatial axis when (M, S, hw) would not fit VMEM.
-    mix_mean = jnp.sum(mu * wgt, axis=1)         # (B, M, hw) or (.., 1)
-    center = jnp.round(jnp.mean(mix_mean, axis=-1))    # (B, M) f32
-    cen = center.astype(jnp.int32)
+    if center is None:
+        mix_mean = jnp.sum(mu * wgt, axis=1)     # (B, M, hw) or (.., 1)
+        cen = jnp.round(jnp.mean(mix_mean, axis=-1)).astype(jnp.int32)
+    else:
+        cen = center.astype(jnp.int32)
 
     # Block sizes: Mt channels (8-aligned divisor of M, or M itself) and
     # Ht spatial points (128-aligned divisor of hw, or hw itself) bounded

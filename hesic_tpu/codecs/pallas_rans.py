@@ -305,12 +305,12 @@ def _pairs_enc_kernel(start_ref, freq_ref, valid_ref, words_ref,
         words_ref[...] = jnp.zeros(words_ref.shape, jnp.int32)
 
     start = start_ref[0].astype(jnp.uint32)            # (8, L8)
-    f = freq_ref[0].astype(jnp.uint32)
     valid = valid_ref[0] != 0
     x0 = x_s[...]
     p0 = p_s[...]
 
-    f_safe = jnp.maximum(f, 1)                         # invalid lanes
+    # clamp invalid lanes' freq in int32 (Mosaic cannot legalize maxui)
+    f_safe = jnp.maximum(freq_ref[0], 1).astype(jnp.uint32)
     need = x0 >= (f_safe << PROB_BITS)
     word = (x0 & _U16).astype(jnp.int32)
     x = jnp.where(need, x0 >> PROB_BITS, x0)

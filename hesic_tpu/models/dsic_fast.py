@@ -26,7 +26,7 @@ import jax.numpy as jnp
 
 from .dsic_codec import DSICCodec
 from .hesic_fast import (LANES_DEFAULT, MM_DEFAULT, HESICFastCodec,
-                         _gmm_freq_fast)
+                         _data_center, _gmm_freq_fast)
 
 
 class DSICFastCodec(DSICCodec, HESICFastCodec):
@@ -70,21 +70,10 @@ class DSICFastCodec(DSICCodec, HESICFastCodec):
                 z2_sym = jnp.round(z2 - med2).astype(jnp.int32)
                 y2_hat = jnp.round(y2).astype(jnp.int32)
                 wov = jnp.zeros((x1.shape[0],), jnp.int32)
-                return (y1_hat, y2_hat, z1_sym, z2_sym, wov)
-
-        elif name == "cond2":
-            # SHARED: decoded left latent + z2 symbols -> right-eye
-            # frequency rows (gmm2 conditions on the un-warped latent,
-            # mynet6.py:662).  aux = the float left latent for synth_out.
-            @jax.jit
-            def fn(params, y1_hat, z2_sym, h):
-                y1f = y1_hat.astype(jnp.float32)
-                med2 = params["entropy_bottleneck2"]["quantiles"][:, 0, 1]
-                z2_hat = z2_sym.astype(jnp.float32) + med2
-                gmm2 = apply(params, "gmm2", z2_hat, y1f)
-                freq2, c2 = _gmm_freq_fast(gmm2[0], gmm2[1], gmm2[2], mm,
-                                           module.K)
-                return freq2, c2, y1f
+                dc1, sp1 = _data_center(y1_hat)
+                dc2, sp2 = _data_center(y2_hat)
+                return (y1_hat, y2_hat, z1_sym, z2_sym, wov,
+                        dc1, dc2, sp1, sp2)
 
         elif name == "synth_out":
             # reconstructions: left decoder taps + global contexts feed
@@ -104,6 +93,40 @@ class DSICFastCodec(DSICCodec, HESICFastCodec):
             return HESICFastCodec._fn(self, name)
         self._fns[name] = fn
         return fn
+
+    def _cond_fns(self, mm: int):
+        """DSIC's cond2 is simpler than HESIC's: gmm2 conditions on the
+        un-warped decoded left latent (mynet6.py:662); aux = the float
+        left latent for synth_out."""
+        key = ("cond", mm)
+        if key not in self._fns:
+            module = self.module
+
+            def apply(params, method, *args):
+                return module.apply({"params": params}, *args,
+                                    method=method)
+
+            @jax.jit
+            def cond1(params, z1_sym, center):
+                med1 = params["entropy_bottleneck1"]["quantiles"][:, 0, 1]
+                z1_hat = z1_sym.astype(jnp.float32) + med1
+                gmm1 = apply(params, "gmm1", z1_hat)
+                freq1, _ = _gmm_freq_fast(gmm1[0], gmm1[1], gmm1[2], mm,
+                                          module.K, center=center)
+                return freq1
+
+            @jax.jit
+            def cond2(params, y1_hat, z2_sym, h, center):
+                y1f = y1_hat.astype(jnp.float32)
+                med2 = params["entropy_bottleneck2"]["quantiles"][:, 0, 1]
+                z2_hat = z2_sym.astype(jnp.float32) + med2
+                gmm2 = apply(params, "gmm2", z2_hat, y1f)
+                freq2, _ = _gmm_freq_fast(gmm2[0], gmm2[1], gmm2[2], mm,
+                                          module.K, center=center)
+                return freq2, y1f
+
+            self._fns[key] = (cond1, cond2)
+        return self._fns[key]
 
     def compress_fast(self, x1, x2, h_matrix=None,
                       batch_container: bool = False):

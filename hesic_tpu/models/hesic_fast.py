@@ -105,7 +105,7 @@ def _bucket_cap(c: int) -> int:
     return max(16, -(-c // 16) * 16)
 
 
-def _gmm_freq_fast(sigma, means, weights, mm: int, k: int):
+def _gmm_freq_fast(sigma, means, weights, mm: int, k: int, center=None):
     """(B, h, w, M*K) GMM params -> (freq (B, M, S, h*w) quantized
     frequency rows in LANE LAYOUT, center (B, M) int32 grid offsets).
 
@@ -114,13 +114,16 @@ def _gmm_freq_fast(sigma, means, weights, mm: int, k: int):
     uses full VPU lanes (the S~33 axis is far too short for the lane
     dimension — measured 4x slowdown when minor).
 
-    Grid centering: the symbol grid for channel m is [c_m - mm, c_m + mm]
-    with c_m = round(spatial mean of the mixture mean) — computed INSIDE
-    this shared program, so encoder and decoder derive identical centers
-    and nothing is stored.  This makes mm cover the residual spread
-    instead of the raw latent spread (the reference achieves the same
-    with per-image data-derived minmax, newnet1.py:873-906, but that
-    would make shapes dynamic).
+    Grid centering: the symbol grid for channel m is [c_m - mm, c_m + mm].
+    `center` (B, M) int32 is normally the DATA-derived per-channel
+    latent mean computed by the encoder and stored in the container (1 B
+    per channel) — like the reference's per-image data-derived minmax
+    (newnet1.py:873-906), it keeps the coding window anchored to the
+    actual latents even when the hyper-prior mispredicts (a
+    prediction-centered grid measured +0.06 bpp on an out-of-
+    distribution input because symbols land in the pmf tails).  With
+    center=None the legacy prediction-derived center
+    (round(spatial mean of the mixture mean)) is used.
 
     The optimization barrier pins the erfc-heavy PMF to ONE materialized
     evaluation — without it XLA may re-fuse (recompute) the producer into
@@ -132,7 +135,8 @@ def _gmm_freq_fast(sigma, means, weights, mm: int, k: int):
         # 7.1.26 approximation (self-consistent: both sides run this same
         # program — see the kernel docstring)
         from ..codecs.pallas_pmf import gmm_freq_pallas
-        return gmm_freq_pallas(sigma, means, weights, mm, k)
+        return gmm_freq_pallas(sigma, means, weights, mm, k,
+                               center=center)
 
     b, h, w, mk = sigma.shape
     m = mk // k
@@ -151,18 +155,21 @@ def _gmm_freq_fast(sigma, means, weights, mm: int, k: int):
         wgt = wgt.reshape(b, k, m, 1, 1)
     else:
         wgt = lanes_layout(weights)
-    mix_mean = jnp.sum(mu * wgt, axis=1)              # (B, M, 1, hw)
-    center = jnp.round(jnp.mean(mix_mean, axis=(2, 3)))   # (B, M) f32
+    if center is None:
+        mix_mean = jnp.sum(mu * wgt, axis=1)          # (B, M, 1, hw)
+        center_f = jnp.round(jnp.mean(mix_mean, axis=(2, 3)))  # (B, M)
+    else:
+        center_f = center.astype(jnp.float32)
     edges = (jnp.arange(-mm, mm + 2, dtype=jnp.float32) - 0.5)
     edges = edges.reshape(1, 1, 1, -1, 1)          # (1,1,1,S+1,1)
-    edges = edges + center.reshape(b, 1, m, 1, 1)
+    edges = edges + center_f.reshape(b, 1, m, 1, 1)
     from ..entropy_models import standardized_cumulative
     cdf = standardized_cumulative((edges - mu) / sc)  # (B,K,M,S+1,hw)
     pmf = cdf[:, :, :, 1:] - cdf[:, :, :, :-1]        # (B,K,M,S,hw)
     pmf = jnp.sum(pmf * wgt, axis=1)                  # (B,M,S,hw)
     freq = quantize_pmf_device(pmf, axis=2)
     return jax.lax.optimization_barrier(
-        (freq, center.astype(jnp.int32)))
+        (freq, center_f.astype(jnp.int32)))
 
 
 def auto_ppl(hw: int, requested=None) -> int:
@@ -176,6 +183,52 @@ def auto_ppl(hw: int, requested=None) -> int:
         if hw % p == 0 and (hw // p) % 128 == 0:
             return p
     return 1
+
+
+def _dead_override(freq, dead, mm: int):
+    """Degenerate frequency rows for constant (all-center) channels.
+
+    The reference container skips zero channels via a bitmap
+    (newnet1.py:873-906) — without an equivalent, dead channels cost
+    their full per-symbol rate (measured +0.06 bpp on the trained tiny
+    fixture).  Static shapes forbid actually skipping symbols, so dead
+    channels instead get a near-deterministic row (center bin holds all
+    mass): ~0.0007 bits/symbol.  Pure integer op on both sides — the
+    bitmap rides in the container, so encoder and decoder apply
+    identical overrides regardless of coder backend."""
+    b, m, s, hw = freq.shape
+    iota = jax.lax.broadcasted_iota(jnp.int32, (1, 1, s, 1), 2)
+    dead_row = jnp.where(iota == mm, _TOTAL_FREQ - (s - 1), 1)
+    return jnp.where(dead[:, :, None, None], dead_row, freq)
+
+
+_TOTAL_FREQ = 1 << 16
+
+MM_BUCKETS = (4, 8, 16, 32)
+
+
+def _data_center(y_hat):
+    """Per-channel data-derived grid center + residual spread.
+
+    y_hat: (B, h, w, M) int latents.  center = clip(round(mean), ±127)
+    (stored as i8 in the container); spread = max |y - center| over the
+    whole call (drives the mm bucket choice)."""
+    dc = jnp.clip(jnp.round(jnp.mean(
+        y_hat.astype(jnp.float32), axis=(1, 2))), -127, 127)
+    dc = dc.astype(jnp.int32)                        # (B, M)
+    spread = jnp.max(jnp.abs(y_hat - dc[:, None, None, :]))
+    return dc, spread.astype(jnp.int32)
+
+
+def pick_mm(spread: int, cap: int) -> int:
+    """Smallest grid half-width bucket covering the residual spread
+    (capped; stragglers ride the escape side-channel)."""
+    for mm in MM_BUCKETS:
+        if mm >= cap:
+            return cap
+        if spread <= mm:
+            return mm
+    return cap
 
 
 def _encode_stream(freq, y_hat, mm: int, center, ppl: int = 1,
@@ -199,6 +252,8 @@ def _encode_stream(freq, y_hat, mm: int, center, ppl: int = 1,
     rel = (y_hat.transpose(0, 3, 1, 2).reshape(b, m, hw)
            - center[:, :, None])
     over = jnp.sum(jnp.abs(rel) > mm, axis=(1, 2)).astype(jnp.int32)
+    dead = jnp.all(rel == 0, axis=2)           # (B, M) constant channels
+    freq = _dead_override(freq, dead, mm)
     sym = jnp.clip(rel, -mm, mm) + mm
     if _use_pallas():
         # fused Mosaic kernel: interval extraction + rANS transition +
@@ -227,11 +282,11 @@ def _encode_stream(freq, y_hat, mm: int, center, ppl: int = 1,
         states = states.reshape(b, ls)
     return (words.astype(jnp.uint16),          # (B, CAP, ls)
             counts.astype(jnp.int32),          # (B, ls)
-            states, over)
+            states, over, dead)
 
 
 def _decode_stream(freq, words, counts, states, mm: int, hy: int, wy: int,
-                   center=None, ppl: int = 1):
+                   center=None, ppl: int = 1, dead=None):
     """Batched interleave decode from lane-layout frequency rows.
 
     words: (B, C, ls) int32 u16 values (per-lane compacted, cap-major —
@@ -242,6 +297,8 @@ def _decode_stream(freq, words, counts, states, mm: int, hy: int, wy: int,
     b, m, s, hw = freq.shape
     ls = hw // ppl
     cap = words.shape[1]
+    if dead is not None:
+        freq = _dead_override(freq, dead != 0, mm)
     if _use_pallas():
         # fused Mosaic kernel: CDF build + symbol search + word pulls in
         # VMEM; no (B, M, S+1, hw) CDF tensor is ever materialized
@@ -303,21 +360,21 @@ class HESICFastCodec(HESICCodec):
 
     # ---- shared jitted programs (identical executables on both sides) ----
 
-    def _stream_fns(self, ppl: int, cap):
-        """(encode, decode) stream programs for a given positions-per-lane
-        and encoder word budget (cache key includes both)."""
-        mm = self.mm
-        key = ("streams", ppl, cap)
+    def _stream_fns(self, ppl: int, cap, mm: int):
+        """(encode, decode) stream programs for a given positions-per-lane,
+        encoder word budget and grid width (cache key includes all)."""
+        key = ("streams", ppl, cap, mm)
         if key not in self._fns:
             @jax.jit
             def enc(freq, y_hat, center):
                 return _encode_stream(freq, y_hat, mm, center, ppl=ppl,
                                       cap=cap)
 
-            def _decode(freq, words, counts, states, center, y_shape):
+            def _decode(freq, words, counts, states, center, y_shape,
+                        dead):
                 hy, wy = y_shape
                 return _decode_stream(freq, words, counts, states, mm,
-                                      hy, wy, center, ppl=ppl)
+                                      hy, wy, center, ppl=ppl, dead=dead)
 
             self._fns[key] = (enc, jax.jit(_decode, static_argnums=(5,)))
         return self._fns[key]
@@ -359,51 +416,10 @@ class HESICFastCodec(HESICCodec):
                 med2 = params["entropy_bottleneck2"]["quantiles"][:, 0, 1]
                 z2_sym = jnp.round(z2 - med2).astype(jnp.int32)
                 y2_hat = jnp.round(y2).astype(jnp.int32)
+                dc1, sp1 = _data_center(y1_hat)
+                dc2, sp2 = _data_center(y2_hat)
                 return (y1_hat, y2_hat, z1_sym, z2_sym,
-                        wov.astype(jnp.int32))
-
-        elif name == "cond1":
-            # SHARED: z1 symbols -> left-eye (frequency rows, centers)
-            @jax.jit
-            def fn(params, z1_sym):
-                med1 = params["entropy_bottleneck1"]["quantiles"][:, 0, 1]
-                z1_hat = z1_sym.astype(jnp.float32) + med1
-                gmm1 = apply(params, "gmm1", z1_hat)
-                return _gmm_freq_fast(gmm1[0], gmm1[1], gmm1[2], mm,
-                                      module.K)
-
-        elif name == "cond2":
-            # SHARED: decoded left latent + z2 symbols -> right-eye
-            # (frequency rows, centers) and the left reconstruction.  The
-            # re-encode chain (newnet1.py:753-756) uses the MXU warp: both
-            # sides run this same executable, so only determinism matters.
-            @jax.jit
-            def fn(params, y1_hat, z2_sym, h):
-                x1_hat = apply(params, "synthesis1",
-                               y1_hat.astype(jnp.float32))
-                size = (x1_hat.shape[1], x1_hat.shape[2])
-                x1_warp_ac, _ = warp_perspective_mxu(x1_hat, h, size)
-                y1_prior = jnp.round(
-                    apply(params, "analysis1", x1_warp_ac))
-                med2 = params["entropy_bottleneck2"]["quantiles"][:, 0, 1]
-                z2_hat = z2_sym.astype(jnp.float32) + med2
-                gmm2 = apply(params, "gmm2", z2_hat, y1_prior)
-                freq2, c2 = _gmm_freq_fast(gmm2[0], gmm2[1], gmm2[2], mm,
-                                           module.K)
-                return freq2, c2, x1_hat
-
-        elif name == "encode_stream":       # legacy ppl=1 variant
-            @jax.jit
-            def fn(freq, y_hat, center):
-                return _encode_stream(freq, y_hat, mm, center)
-
-        elif name == "decode_stream":       # legacy ppl=1 variant
-            def _decode(freq, words, counts, states, center, y_shape):
-                hy, wy = y_shape
-                return _decode_stream(freq, words, counts, states, mm,
-                                      hy, wy, center)
-
-            fn = jax.jit(_decode, static_argnums=(5,))
+                        wov.astype(jnp.int32), dc1, dc2, sp1, sp2)
 
         elif name == "apply_corr":
             # decoded clamped latents + dense (mask, value) outlier map ->
@@ -466,15 +482,60 @@ class HESICFastCodec(HESICCodec):
         self._fns[name] = fn
         return fn
 
-    def _cond1(self, z1_sym):
-        """cond1 at the canonical batch size (padded/chunked)."""
-        return self._run_canonical(
-            lambda zp: self._fn("cond1")(self.params, zp), (z1_sym,))
+    def _cond_fns(self, mm: int):
+        """(cond1, cond2) shared conditioning programs for a grid width.
 
-    def _cond2(self, y1_hat, z2_sym, h_matrix):
+        Grid centers are DATA-derived inputs (computed by the encoder,
+        stored as i8 in the container) — the conditioning programs build
+        frequency rows at the given integer centers, so both sides stay
+        bit-exact by construction and the coding window tracks the
+        actual latents even when the hyper-prior mispredicts."""
+        key = ("cond", mm)
+        if key not in self._fns:
+            module = self.module
+
+            def apply(params, method, *args):
+                return module.apply({"params": params}, *args,
+                                    method=method)
+
+            @jax.jit
+            def cond1(params, z1_sym, center):
+                med1 = params["entropy_bottleneck1"]["quantiles"][:, 0, 1]
+                z1_hat = z1_sym.astype(jnp.float32) + med1
+                gmm1 = apply(params, "gmm1", z1_hat)
+                freq1, _ = _gmm_freq_fast(gmm1[0], gmm1[1], gmm1[2], mm,
+                                          module.K, center=center)
+                return freq1
+
+            @jax.jit
+            def cond2(params, y1_hat, z2_sym, h, center):
+                x1_hat = apply(params, "synthesis1",
+                               y1_hat.astype(jnp.float32))
+                size = (x1_hat.shape[1], x1_hat.shape[2])
+                x1_warp_ac, _ = warp_perspective_mxu(x1_hat, h, size)
+                y1_prior = jnp.round(
+                    apply(params, "analysis1", x1_warp_ac))
+                med2 = params["entropy_bottleneck2"]["quantiles"][:, 0, 1]
+                z2_hat = z2_sym.astype(jnp.float32) + med2
+                gmm2 = apply(params, "gmm2", z2_hat, y1_prior)
+                freq2, _ = _gmm_freq_fast(gmm2[0], gmm2[1], gmm2[2], mm,
+                                          module.K, center=center)
+                return freq2, x1_hat
+
+            self._fns[key] = (cond1, cond2)
+        return self._fns[key]
+
+    def _cond1(self, z1_sym, center, mm: int):
+        """cond1 at the canonical batch size (padded/chunked)."""
+        cond1, _ = self._cond_fns(mm)
         return self._run_canonical(
-            lambda yp, zp, hp: self._fn("cond2")(self.params, yp, zp, hp),
-            (y1_hat, z2_sym, h_matrix))
+            lambda zp, cp: cond1(self.params, zp, cp), (z1_sym, center))
+
+    def _cond2(self, y1_hat, z2_sym, h_matrix, center, mm: int):
+        _, cond2 = self._cond_fns(mm)
+        return self._run_canonical(
+            lambda yp, zp, hp, cp: cond2(self.params, yp, zp, hp, cp),
+            (y1_hat, z2_sym, h_matrix, center))
 
     def _run_canonical(self, fn, args):
         """Run `fn` over batches padded to exactly `codec_batch` items."""
@@ -543,7 +604,7 @@ class HESICFastCodec(HESICCodec):
     # ---- outlier (escape) side-channel ----
 
     def _collect_outliers(self, y_true_dev, over_counts: np.ndarray,
-                          center_dev):
+                          center_dev, mm: int):
         """Per-pair sparse (flat_index, true_value) arrays for latents
         beyond the (per-channel-centered) coder grid.  Zero-cost when
         over_counts is all zero (the trained-model common case);
@@ -559,7 +620,7 @@ class HESICFastCodec(HESICCodec):
             flat = y_np[i].reshape(-1)
             c_flat = np.broadcast_to(
                 c_np[i], y_np[i].shape).reshape(-1)
-            idx = np.flatnonzero(np.abs(flat - c_flat) > self.mm)
+            idx = np.flatnonzero(np.abs(flat - c_flat) > mm)
             outs.append((idx.astype(np.uint32),
                          flat[idx].astype(np.int32)))
         return outs
@@ -586,6 +647,21 @@ class HESICFastCodec(HESICCodec):
             eyes.append((idx, val))
         return eyes[0], eyes[1], off
 
+    def _parse_dead_bitmaps(self, blob: bytes, off: int, b: int):
+        """Read b pairs of constant-channel bitmaps -> two (b, M) int32
+        arrays (jnp) + next offset."""
+        m = self.module.M
+        nbytes = -(-m // 8)
+        d1 = np.zeros((b, m), np.int32)
+        d2 = np.zeros((b, m), np.int32)
+        for i in range(b):
+            for d in (d1, d2):
+                bits = np.unpackbits(
+                    np.frombuffer(blob, np.uint8, nbytes, off))[:m]
+                d[i] = bits
+                off += nbytes
+        return jnp.asarray(d1), jnp.asarray(d2), off
+
     def _corr_map(self, outliers, y_shape):
         """Dense (mask, true-value) int32 maps, or None if no pair has
         outliers.  Set-semantics (decoder overwrites the clamped decode
@@ -606,10 +682,10 @@ class HESICFastCodec(HESICCodec):
                 jnp.asarray(vals.reshape(b, hy, wy, m)))
 
     def _decode_y(self, freq, words, counts, states, center, y_shape,
-                  corr):
+                  corr, dead, mm: int):
         ppl = (y_shape[0] * y_shape[1]) // counts.shape[1]
-        _, dec = self._stream_fns(ppl, None)
-        y = dec(freq, words, counts, states, center, y_shape)
+        _, dec = self._stream_fns(ppl, None, mm)
+        y = dec(freq, words, counts, states, center, y_shape, dead)
         if corr is not None:
             y = self._fn("apply_corr")(y, corr[0], corr[1])
         return y
@@ -695,31 +771,43 @@ class HESICFastCodec(HESICCodec):
             h_matrix = jnp.broadcast_to(h_matrix, (x1.shape[0], 3, 3))
         h_matrix = self._place(h_matrix)
 
-        (y1_hat, y2_hat, z1_sym, z2_sym,
-         _wov) = self._fn("transforms_enc")(self.params, x1, x2, h_matrix)
-        freq1, cen1 = self._cond1(z1_sym)
-        freq2, cen2, _ = self._cond2(y1_hat, z2_sym, h_matrix)
+        (y1_hat, y2_hat, z1_sym, z2_sym, _wov, dc1, dc2, sp1,
+         sp2) = self._fn("transforms_enc")(self.params, x1, x2, h_matrix)
+        # tiny sync: residual spreads pick the per-eye grid-width bucket,
+        # data centers ride the container as i8 (like the reference's
+        # per-image minmax, newnet1.py:873-906)
+        sp1_np, sp2_np, dc1_np, dc2_np = jax.device_get(
+            (sp1, sp2, dc1, dc2))
+        mm1 = pick_mm(int(sp1_np), self.mm)
+        mm2 = pick_mm(int(sp2_np), self.mm)
+        cen1 = self._place(jnp.asarray(dc1_np))
+        cen2 = self._place(jnp.asarray(dc2_np))
+        freq1 = self._cond1(z1_sym, cen1, mm1)
+        freq2, _ = self._cond2(y1_hat, z2_sym, h_matrix, cen2, mm2)
 
         hw_y = y1_hat.shape[1] * y1_hat.shape[2]
         ppl = auto_ppl(hw_y, self.ppl)
         cap = self._enc_cap(ppl, self.module.M)
         while True:
-            enc, _ = self._stream_fns(ppl, cap)
-            s1 = enc(freq1, y1_hat, cen1)
-            s2 = enc(freq2, y2_hat, cen2)
+            enc1, _ = self._stream_fns(ppl, cap, mm1)
+            enc2, _ = self._stream_fns(ppl, cap, mm2)
+            s1 = enc1(freq1, y1_hat, cen1)
+            s2 = enc2(freq2, y2_hat, cen2)
             # one sync for the counts (sets the word capacity) + outlier
             # totals; everything else follows packed into a single
             # int32 vector
-            counts_both, over_np = jax.device_get(
-                (jnp.stack([s1[1], s2[1]]), jnp.stack([s1[3], s2[3]])))
+            counts_both, over_np, dead_np = jax.device_get(
+                (jnp.stack([s1[1], s2[1]]), jnp.stack([s1[3], s2[3]]),
+                 jnp.stack([s1[4], s2[4]])))
             c1, c2 = counts_both[0], counts_both[1]
+            dead1_np, dead2_np = dead_np[0], dead_np[1]
             if cap is None or max(int(c1.max()), int(c2.max())) <= cap:
                 break
             cap *= 2    # pathological payload: recompile with more room
         b = x1.shape[0]
         lanes = s1[1].shape[1]  # = y_h * y_w // ppl
-        outliers1 = self._collect_outliers(y1_hat, over_np[0], cen1)
-        outliers2 = self._collect_outliers(y2_hat, over_np[1], cen2)
+        outliers1 = self._collect_outliers(y1_hat, over_np[0], cen1, mm1)
+        outliers2 = self._collect_outliers(y2_hat, over_np[1], cen2, mm2)
         cap1 = min(_bucket_cap(int(c1.max())), s1[0].shape[1])
         cap2 = min(_bucket_cap(int(c2.max())), s2[0].shape[1])
         packed = np.asarray(self._fn("pack_outputs")(
@@ -770,7 +858,7 @@ class HESICFastCodec(HESICCodec):
                 return wl[mask].astype(np.uint16)
 
             header = bytearray()
-            header += bytes([_pmf_backend_id()])
+            header += bytes([_pmf_backend_id(), mm1, mm2])
             header += np.array([x1.shape[1], x1.shape[2], b, lanes],
                                np.uint32).tobytes()
             for z1_str, z2_str in z_strs:
@@ -778,10 +866,18 @@ class HESICFastCodec(HESICCodec):
                     header += np.array([len(s)], np.uint32).tobytes() + s
             for i in range(b):
                 header += self._pack_outliers(outliers1[i], outliers2[i])
+            # constant-channel bitmaps (reference newnet1.py:873-906)
+            for i in range(b):
+                header += np.packbits(dead1_np[i]).tobytes()
+                header += np.packbits(dead2_np[i]).tobytes()
+            # data-derived grid centers, i8 per channel
+            header += dc1_np.astype(np.int8).tobytes()
+            header += dc2_np.astype(np.int8).tobytes()
             header += h_np.reshape(-1).astype(np.float32).tobytes()
+            from ..codecs.device_rans import pack_counts
             body = bytearray()
             for w, c, st in ((w1, c1, st1), (w2, c2, st2)):
-                body += c.astype(np.uint16).tobytes()
+                body += pack_counts(c.reshape(-1))
                 body += st.astype(np.uint32).tobytes()
                 body += flat_words(w, c).tobytes()
             blob = bytes(header) + bytes(body)
@@ -796,12 +892,16 @@ class HESICFastCodec(HESICCodec):
         for i in range(b):
             z1_str, z2_str = z_strs[i]
             header = bytearray()
-            header += bytes([_pmf_backend_id()])
+            header += bytes([_pmf_backend_id(), mm1, mm2])
             header += np.array([x1.shape[1], x1.shape[2]],
                                np.uint16).tobytes()
             for s in (z1_str, z2_str):
                 header += np.array([len(s)], np.uint32).tobytes() + s
             header += self._pack_outliers(outliers1[i], outliers2[i])
+            header += np.packbits(dead1_np[i]).tobytes()
+            header += np.packbits(dead2_np[i]).tobytes()
+            header += dc1_np[i].astype(np.int8).tobytes()
+            header += dc2_np[i].astype(np.int8).tobytes()
             header += h_np[i].reshape(-1).astype(np.float32).tobytes()
             body = pack_stream(w1[i].T, c1[i], st1[i]) \
                 + pack_stream(w2[i].T, c2[i], st2[i])
@@ -822,6 +922,8 @@ class HESICFastCodec(HESICCodec):
         and ships everything in one h2d transfer."""
         start = time.time()
         off = _check_pmf_backend(blob)
+        mm1, mm2 = blob[off], blob[off + 1]
+        off += 2
         hdr = np.frombuffer(blob, np.uint32, 4, off)
         h_img, w_img, b, lanes = (int(v) for v in hdr)
         off += 16
@@ -844,14 +946,23 @@ class HESICFastCodec(HESICCodec):
             out2_list.append(o2)
         corr1 = self._corr_map(out1_list, y_shape)
         corr2 = self._corr_map(out2_list, y_shape)
+        dead1, dead2, off = self._parse_dead_bitmaps(blob, off, b)
+        m = self.module.M
+        cen1 = jnp.asarray(np.frombuffer(
+            blob, np.int8, b * m, off).reshape(b, m).astype(np.int32))
+        off += b * m
+        cen2 = jnp.asarray(np.frombuffer(
+            blob, np.int8, b * m, off).reshape(b, m).astype(np.int32))
+        off += b * m
         h_matrix = jnp.asarray(
             np.frombuffer(blob, np.float32, 9 * b, off).reshape(b, 3, 3))
         off += 36 * b
 
+        from ..codecs.device_rans import unpack_counts
+
         def read_stream(off):
-            c = np.frombuffer(blob, np.uint16, b * lanes,
-                              off).astype(np.int32).reshape(b, lanes)
-            off += 2 * b * lanes
+            c, off = unpack_counts(blob, off, b * lanes)
+            c = c.reshape(b, lanes)
             st = np.frombuffer(blob, np.uint32, b * lanes,
                                off).reshape(b, lanes).copy()
             off += 4 * b * lanes
@@ -892,7 +1003,8 @@ class HESICFastCodec(HESICCodec):
         (c1d, st1d, w1d, c2d, st2d, w2d, z1_sym, z2_sym) = unpack(buf_dev)
         return self._finish_decode(c1d, st1d, w1d, c2d, st2d, w2d, z1_sym,
                                    z2_sym, h_matrix, y_shape, start,
-                                   corr1, corr2)
+                                   corr1, corr2, dead1, dead2,
+                                   cen1, cen2, mm1, mm2)
 
     def _place(self, t):
         """Apply the optional batch-axis sharding (no-op by default)."""
@@ -903,19 +1015,22 @@ class HESICFastCodec(HESICCodec):
 
     def _finish_decode(self, c1d, st1d, w1d, c2d, st2d, w2d, z1_sym,
                        z2_sym, h_matrix, y_shape, start,
-                       corr1=None, corr2=None):
+                       corr1, corr2, dead1, dead2, cen1, cen2,
+                       mm1: int, mm2: int):
         if self.placement is not None:
             (c1d, st1d, w1d, c2d, st2d, w2d, z1_sym, z2_sym,
-             h_matrix) = (self._place(t) for t in (
-                 c1d, st1d, w1d, c2d, st2d, w2d, z1_sym, z2_sym, h_matrix))
+             h_matrix, dead1, dead2, cen1, cen2) = (
+                 self._place(t) for t in (
+                     c1d, st1d, w1d, c2d, st2d, w2d, z1_sym, z2_sym,
+                     h_matrix, dead1, dead2, cen1, cen2))
             corr1 = tuple(self._place(t) for t in corr1) if corr1 else corr1
             corr2 = tuple(self._place(t) for t in corr2) if corr2 else corr2
-        freq1, cen1 = self._cond1(z1_sym)
+        freq1 = self._cond1(z1_sym, cen1, mm1)
         y1_hat = self._decode_y(freq1, w1d, c1d, st1d, cen1, y_shape,
-                                corr1)
-        freq2, cen2, aux = self._cond2(y1_hat, z2_sym, h_matrix)
+                                corr1, dead1, mm1)
+        freq2, aux = self._cond2(y1_hat, z2_sym, h_matrix, cen2, mm2)
         y2_hat = self._decode_y(freq2, w2d, c2d, st2d, cen2, y_shape,
-                                corr2)
+                                corr2, dead2, mm2)
         x1_hat, x2_hat = self._fn("synth_out")(self.params, aux, y2_hat,
                                                h_matrix)
         return {
@@ -934,9 +1049,14 @@ class HESICFastCodec(HESICCodec):
         z1_list, z2_list, h_list = [], [], []
         s1_parts, s2_parts = [], []
         out1_list, out2_list = [], []
+        dead1_l, dead2_l = [], []
         y_shape = None
+        mm1 = mm2 = None
+        cen1_l, cen2_l = [], []
         for blob in blobs:
             off = _check_pmf_backend(blob)
+            mm1, mm2 = blob[off], blob[off + 1]
+            off += 2
             x_shape = np.frombuffer(blob, np.uint16, 2, off)
             off += 4
             z_strs = []
@@ -948,6 +1068,16 @@ class HESICFastCodec(HESICCodec):
             o1, o2, off = self._parse_outliers(blob, off)
             out1_list.append(o1)
             out2_list.append(o2)
+            d1, d2, off = self._parse_dead_bitmaps(blob, off, 1)
+            dead1_l.append(d1[0])
+            dead2_l.append(d2[0])
+            m = self.module.M
+            cen1_l.append(np.frombuffer(
+                blob, np.int8, m, off).astype(np.int32))
+            off += m
+            cen2_l.append(np.frombuffer(
+                blob, np.int8, m, off).astype(np.int32))
+            off += m
             h_list.append(
                 np.frombuffer(blob, np.float32, 9, off).reshape(3, 3))
             off += 36
@@ -1010,9 +1140,14 @@ class HESICFastCodec(HESICCodec):
         unpack = self._unpack_fn(tuple(
             (tuple(s), k) for s, k in specs))
         (c1d, st1d, w1d, c2d, st2d, w2d, z1_sym, z2_sym) = unpack(buf_dev)
+        dead1 = jnp.asarray(np.stack(dead1_l))
+        dead2 = jnp.asarray(np.stack(dead2_l))
+        cen1 = jnp.asarray(np.stack(cen1_l))
+        cen2 = jnp.asarray(np.stack(cen2_l))
         return self._finish_decode(c1d, st1d, w1d, c2d, st2d, w2d, z1_sym,
                                    z2_sym, h_matrix, y_shape, start,
-                                   corr1, corr2)
+                                   corr1, corr2, dead1, dead2,
+                                   cen1, cen2, mm1, mm2)
 
     # ---- z-path host helpers (symbols already centered) ----
 

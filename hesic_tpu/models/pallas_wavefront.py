@@ -64,6 +64,7 @@ def _kernel(teacher_ref, pre_ref, post_ref, ytrue_ref, cmask_ref, cval_ref,
             w2_ref, b2_ref,
             starts_ref, freqs_ref, ylv_ref, residlv_ref,
             ybuf, pmf_s, x_s, p_s, symdec_s,
+            tapk_v, w0_v, w1_v, w2_v, wsem,
             *, b, p_max, m, mg, groups, mm, hy, wy, rows, wdtype):
     s = pl.program_id(0)
     r_dim = b * p_max
@@ -75,6 +76,17 @@ def _kernel(teacher_ref, pre_ref, post_ref, ytrue_ref, cmask_ref, cval_ref,
         ybuf[...] = jnp.zeros(ybuf.shape, jnp.float32)
         x_s[...] = states_ref[...]
         p_s[...] = counts_ref[...]
+        # weights live in HBM (memory_space=ANY) and are DMA'd into VMEM
+        # scratch exactly ONCE — as pipelined VMEM inputs they would be
+        # re-fetched every level (~1 GB of HBM traffic over 125 levels,
+        # the dominant per-level cost when measured)
+        for i, (src_, dst) in enumerate(((tapk_ref, tapk_v),
+                                         (w0_ref, w0_v),
+                                         (w1_ref, w1_v),
+                                         (w2_ref, w2_v))):
+            cp = pltpu.make_async_copy(src_, dst, wsem.at[i])
+            cp.start()
+            cp.wait()
 
     # schedule of this level (same integer formulas as ar_device.schedule)
     lo = jnp.maximum(0, (s - (wy - 1) + 2) // 3)
@@ -93,7 +105,7 @@ def _kernel(teacher_ref, pre_ref, post_ref, ytrue_ref, cmask_ref, cval_ref,
         slab = ybuf[slot, pl.ds(_RPAD + lo + di, p_max), :, :]
         taps.append(slab.reshape(r_dim, m))          # (pmax, B, M) each
     feat_ctx = jnp.concatenate(taps, axis=1).astype(wdtype)  # (R, 12M)
-    ctx = jnp.dot(feat_ctx, tapk_ref[...],
+    ctx = jnp.dot(feat_ctx, tapk_v[...],
                   preferred_element_type=jnp.float32) + ctxb_ref[...]
 
     # ---- entropy-parameter MLP (row-major) ----
@@ -101,13 +113,13 @@ def _kernel(teacher_ref, pre_ref, post_ref, ytrue_ref, cmask_ref, cval_ref,
     if post_ref is not None:
         parts.append(post_ref[0])
     g = jnp.concatenate(parts, axis=1).astype(wdtype)
-    g = jax.nn.leaky_relu(jnp.dot(g, w0_ref[...],
+    g = jax.nn.leaky_relu(jnp.dot(g, w0_v[...],
                                   preferred_element_type=jnp.float32)
                           + b0_ref[...])
-    g = jax.nn.leaky_relu(jnp.dot(g.astype(wdtype), w1_ref[...],
+    g = jax.nn.leaky_relu(jnp.dot(g.astype(wdtype), w1_v[...],
                                   preferred_element_type=jnp.float32)
                           + b1_ref[...])
-    g = jnp.dot(g.astype(wdtype), w2_ref[...],
+    g = jnp.dot(g.astype(wdtype), w2_v[...],
                 preferred_element_type=jnp.float32) + b2_ref[...]
     gt = jnp.transpose(g)                               # (2M, R)
     scales = jnp.maximum(gt[:m], 0.11)                  # (M, R)
@@ -324,10 +336,15 @@ def ar_wavefront_pallas(weights, pre, post, y_true, corr_mask, corr_val,
         in_specs.append(pl.BlockSpec((1, m, r_dim), lv_map,
                                      memory_space=pltpu.VMEM))
         inputs.append(t)
+    big_weights = {id(tapk), id(ep_w[0]), id(ep_w[1]), id(ep_w[2])}
     for t in (words_k, counts_k, states_k, tapk, ctxb,
               ep_w[0], ep_b[0], ep_w[1], ep_b[1], ep_w[2], ep_b[2]):
-        in_specs.append(pl.BlockSpec(
-            t.shape, const(*t.shape), memory_space=pltpu.VMEM))
+        if id(t) in big_weights:
+            # stays in HBM; DMA'd once into scratch at level 0
+            in_specs.append(pl.BlockSpec(memory_space=pltpu.ANY))
+        else:
+            in_specs.append(pl.BlockSpec(
+                t.shape, const(*t.shape), memory_space=pltpu.VMEM))
         inputs.append(t)
 
     out_specs = [
@@ -358,6 +375,11 @@ def ar_wavefront_pallas(weights, pre, post, y_true, corr_mask, corr_val,
             pltpu.VMEM((mg, r_dim), jnp.uint32),
             pltpu.VMEM((mg, r_dim), jnp.int32),
             pltpu.VMEM((m, r_dim), jnp.int32),
+            pltpu.VMEM(tapk.shape, tapk.dtype),
+            pltpu.VMEM(ep_w[0].shape, ep_w[0].dtype),
+            pltpu.VMEM(ep_w[1].shape, ep_w[1].dtype),
+            pltpu.VMEM(ep_w[2].shape, ep_w[2].dtype),
+            pltpu.SemaphoreType.DMA((4,)),
         ],
         interpret=interpret,
     )(*inputs)
@@ -395,10 +417,12 @@ def _kernel_nopost(teacher_ref, pre_ref, ytrue_ref, cmask_ref, cval_ref,
                    tapk_ref, ctxb_ref, w0_ref, b0_ref, w1_ref, b1_ref,
                    w2_ref, b2_ref,
                    starts_ref, freqs_ref, ylv_ref, residlv_ref,
-                   ybuf, pmf_s, x_s, p_s, symdec_s, **kw):
+                   ybuf, pmf_s, x_s, p_s, symdec_s,
+                   tapk_v, w0_v, w1_v, w2_v, wsem, **kw):
     _kernel(teacher_ref, pre_ref, None, ytrue_ref, cmask_ref, cval_ref,
             words_ref, counts_ref, states_ref,
             tapk_ref, ctxb_ref, w0_ref, b0_ref, w1_ref, b1_ref,
             w2_ref, b2_ref,
             starts_ref, freqs_ref, ylv_ref, residlv_ref,
-            ybuf, pmf_s, x_s, p_s, symdec_s, **kw)
+            ybuf, pmf_s, x_s, p_s, symdec_s,
+            tapk_v, w0_v, w1_v, w2_v, wsem, **kw)

@@ -237,3 +237,30 @@ class TestCheckpointPipeline:
             res = json.load(f)
         flat = json.dumps(res)
         assert "bpp" in flat and "psnr" in flat
+
+
+class TestFastContainerRateHonesty:
+    def test_fast_vs_reference_layout_bpp_delta(self, trained, tmp_path):
+        """VERDICT r2 #3: the fast container's per-lane overhead must
+        cost < 0.02 bpp vs the reference-layout container at a trained
+        checkpoint on 512² (position folding: 128 lanes/eye x 5 B
+        ~ 0.0195 bpp; was 0.19 bpp at r2)."""
+        from hesic_tpu.models import HESICFastCodec
+
+        _, codec, _ = trained
+        fast = HESICFastCodec(codec.module, codec.params, mm=16,
+                              codec_batch=1)
+        fast.tables = codec.tables
+        rng = np.random.RandomState(11)
+        x1, x2 = _smooth_pair_nchw(rng, 512)
+        j1 = jnp.asarray(x1.transpose(0, 2, 3, 1))
+        j2 = jnp.asarray(x2.transpose(0, 2, 3, 1))
+        h = jnp.eye(3, dtype=jnp.float32)[None]
+
+        ref = codec.compress(j1, j2, h, "img", str(tmp_path))
+        out = fast.compress_fast(j1, j2, h, batch_container=True)
+        rec = fast.decompress_fast_batch(out["blob"])
+        assert np.all(np.isfinite(np.asarray(rec["x2_hat"])))
+        delta = out["bpp_real"] - ref["bpp_real"]
+        # fast container additionally stores H (36 B ~ 0.0005 bpp)
+        assert delta < 0.02, (out["bpp_real"], ref["bpp_real"], delta)

@@ -83,7 +83,7 @@ def main():
                               mm=args.escape_mm, codec_batch=args.batch)
         tiny.update()
         # verify corrections actually trigger at this grid width
-        _, cen1 = tiny._cond1(enc[2])
+        cen1 = enc[5]
         rel = y1_true - np.asarray(cen1)[:, None, None, :]
         n_esc = int((np.abs(rel) > args.escape_mm).sum())
         print(f"escape pass mm={args.escape_mm}: {n_esc} corrections")

@@ -54,9 +54,9 @@ def main():
                                 np.asarray(enc[0]))
                  and np.array_equal(np.asarray(rec["y2_hat"], np.int64),
                                     np.asarray(enc[1])))
-        # count escape corrections actually stored
-        _, cen1 = codec._cond1(enc[2])
-        _, cen2, _ = codec._cond2(enc[0], enc[3], h)
+        # count escape corrections actually stored (grid centers are
+        # the data-derived per-channel means from transforms_enc)
+        cen1, cen2 = enc[5], enc[6]
         n_out = 0
         for y, cen in ((enc[0], cen1), (enc[1], cen2)):
             rel = np.asarray(y) - np.asarray(cen)[:, None, None, :]
