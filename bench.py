@@ -103,6 +103,40 @@ def _calibrate(module, rng, steps: int, hw: int = 256, batch: int = 4):
     return state.params
 
 
+def _calibrate_single(module, rng, steps: int, hw: int = 256,
+                      batch: int = 4):
+    """Short seeded training for single-image (mbt2018-family) bench
+    models — untrained priors max out bits/symbol (measured ~16 b/sym),
+    which both misrepresents throughput and blows the wavefront decode
+    kernel's in-VMEM word buffers."""
+    import jax
+    import jax.numpy as jnp
+    from hesic_tpu.training import (TrainState, make_optimizer,
+                                    make_train_step,
+                                    rate_distortion_loss)
+
+    def loss_fn(module, params, batch_d, rng_key):
+        out = module.apply({"params": params}, batch_d["x"],
+                           training=True, rngs={"noise": rng_key})
+        rd = rate_distortion_loss(out, batch_d["x"], lmbda=1e-2)
+        aux = module.apply({"params": params}, method="aux_loss")
+        return rd["loss"] + aux, {"bpp": rd["bpp_loss"]}
+
+    xs = [_smooth_pair(rng, hw)[0] for _ in range(batch)]
+    batch_d = {"x": jnp.asarray(np.concatenate(xs))}
+    params = module.init(
+        {"params": jax.random.PRNGKey(0), "noise": jax.random.PRNGKey(1)},
+        batch_d["x"][:1], training=True)["params"]
+    tx = make_optimizer(1e-4, 1e-3)
+    state = TrainState.create(params, tx)
+    step = make_train_step(module, tx, loss_fn)
+    key = jax.random.PRNGKey(7)
+    for _ in range(steps):
+        key, sub = jax.random.split(key)
+        state, _ = step(state, batch_d, sub)
+    return state.params
+
+
 def bench_ar():
     """Secondary mode (BENCH_MODE=ar): the autoregressive codec path
     (mbt2018) — native C++ raster coder, thread-parallel across the batch.
@@ -162,10 +196,15 @@ def bench_ar_device():
     n_batches = int(os.environ.get("BENCH_BATCHES", "4"))
     mm = int(os.environ.get("BENCH_MM", "16"))
     groups = int(os.environ.get("BENCH_GROUPS", "8"))
+    calib_steps = int(os.environ.get("BENCH_CALIB_STEPS", "60"))
     rng = np.random.RandomState(0)
 
     module = JointAutoregressiveHierarchicalPriors(N=192, M=192)
-    base = JointAutoregressiveCodec.init(module, [(1, hw, hw, 3)])
+    if calib_steps > 0:
+        params = _calibrate_single(module, rng, calib_steps)
+        base = JointAutoregressiveCodec(module, params)
+    else:
+        base = JointAutoregressiveCodec.init(module, [(1, hw, hw, 3)])
     base.update()
     codec = JointAutoregressiveDeviceCodec(base, mm=mm, groups=groups)
 
@@ -190,6 +229,63 @@ def bench_ar_device():
         "value": round(images_per_sec, 3),
         "unit": "images/s/chip",
         "vs_baseline": round(images_per_sec / BASELINE_PAIRS_PER_SEC, 3),
+    }))
+
+
+def bench_hesic_plus_device():
+    """Secondary mode (BENCH_MODE=hesic-plus-device): HESIC+ (both eyes
+    autoregressive, reference newnet1_joint.py) through the wavefront
+    device codec — the reference's best-RD model and its '#1 perf cliff'
+    (r2 measured 0.89 pairs/s with the lax.scan backend)."""
+    import jax
+    import jax.numpy as jnp
+    from hesic_tpu.models import (HESICPlus, HESICPlusCodec,
+                                  HESICPlusDeviceCodec)
+
+    hw = int(os.environ.get("BENCH_SIZE", "512"))
+    batch = int(os.environ.get("BENCH_BATCH", "4"))
+    n_batches = int(os.environ.get("BENCH_BATCHES", "4"))
+    mm = int(os.environ.get("BENCH_MM", "16"))
+    groups = int(os.environ.get("BENCH_GROUPS", "8"))
+    rng = np.random.RandomState(0)
+
+    calib_steps = int(os.environ.get("BENCH_CALIB_STEPS", "60"))
+    module = HESICPlus(N=192, M=192)
+    if calib_steps > 0:
+        params = _calibrate(module, rng, calib_steps)
+        base = HESICPlusCodec(module, params)
+    else:
+        base = HESICPlusCodec.init(
+            module, [(1, hw, hw, 3), (1, hw, hw, 3), (1, 3, 3)])
+    base.update()
+    codec = HESICPlusDeviceCodec(base, mm=mm, groups=groups)
+
+    xs = [_smooth_pair(rng, hw) for _ in range(batch)]
+    x1 = jnp.asarray(np.concatenate([p[0] for p in xs]))
+    x2 = jnp.asarray(np.concatenate([p[1] for p in xs]))
+    h = jnp.tile(jnp.eye(3, dtype=jnp.float32)[None], (batch, 1, 1))
+
+    out = codec.compress(x1, x2, h)   # warmup/compile
+    rec = codec.decompress(out["strings"])
+    np.testing.assert_array_equal(np.asarray(rec["y1_hat"]),
+                                  np.asarray(out["y1_hat"]))
+    np.testing.assert_array_equal(np.asarray(rec["y2_hat"]),
+                                  np.asarray(out["y2_hat"]))
+    jax.block_until_ready(rec["x2_hat"])
+
+    start = time.time()
+    for _ in range(n_batches):
+        out = codec.compress(x1, x2, h)
+        rec = codec.decompress(out["strings"])
+    jax.block_until_ready(rec["x2_hat"])
+    elapsed = time.time() - start
+    pairs_per_sec = n_batches * batch / elapsed
+
+    print(json.dumps({
+        "metric": f"hesic_plus_device_pairs_per_sec_{hw}px_encdec",
+        "value": round(pairs_per_sec, 3),
+        "unit": "pairs/s/chip",
+        "vs_baseline": round(pairs_per_sec / BASELINE_PAIRS_PER_SEC, 3),
     }))
 
 
@@ -369,6 +465,8 @@ if __name__ == "__main__":
         bench_ar()
     elif _mode == "ar-device":
         bench_ar_device()
+    elif _mode == "hesic-plus-device":
+        bench_hesic_plus_device()
     elif _mode == "dsic":
         bench_dsic()
     else:

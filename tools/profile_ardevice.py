@@ -33,12 +33,21 @@ def main():
     groups = int(os.environ.get("BENCH_GROUPS", "8"))
     rng = np.random.RandomState(0)
 
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        "benchmod", os.path.join(os.path.dirname(__file__), "..",
+                                 "bench.py"))
+    benchmod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(benchmod)
+
     module = JointAutoregressiveHierarchicalPriors(N=192, M=192)
-    base = JointAutoregressiveCodec.init(module, [(1, hw, hw, 3)])
+    params = benchmod._calibrate_single(module, rng, 60)
+    base = JointAutoregressiveCodec(module, params)
     base.update()
     codec = JointAutoregressiveDeviceCodec(base, mm=mm, groups=groups)
 
-    x = jnp.asarray(rng.rand(batch, hw, hw, 3).astype(np.float32))
+    xs = [benchmod._smooth_pair(rng, hw)[0] for _ in range(batch)]
+    x = jnp.asarray(np.concatenate(xs))
     hy = wy = hw // 16
     m = 192
     n_levels, _, _, p_max = schedule(hy, wy)
@@ -69,6 +78,10 @@ def main():
     valid = wavefront_valid_mask(hy, wy, batch, groups, m)
     words, counts, states = rans_encode_grid(
         st.astype(jnp.uint32), fr.astype(jnp.uint32), valid)
+    # bucket the word cap like the container does (the raw encoder
+    # buffer is worst-case padded and would blow the decode VMEM)
+    cap = max(16, (int(jnp.max(counts)) + 15) // 16 * 16)
+    words = words[:, :cap]
     sync(counts)
     t0 = time.time()
     for _ in range(3):
