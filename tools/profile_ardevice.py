@@ -90,6 +90,7 @@ def main():
     sync(counts)
     print(f"slot rANS encode (scan): {(time.time()-t0)/3*1000:.1f} ms "
           f"(T={st.shape[0]}, L={st.shape[1]}, cap={words.shape[1]})")
+    words = words[:, :cap]
 
     t0 = time.time()
     rs_np = np.asarray(rs)
