@@ -30,10 +30,15 @@ divisible or equal to the full array dims; the singleton axes above park
 the full (possibly unaligned) dims last so only leading axes are
 blocked, which keeps the batch-chunk size free to match VMEM.
 
-The grid iterates (batch-chunk, M) with M fastest; the TPU grid is
-sequential, so VMEM scratch carries each lane's rANS state across the M
-steps of its chunk.  Encode walks M (and j within each step) in reverse
-(rANS encodes backwards) via reversed index maps / loops.
+The grid iterates (batch-chunk, M*ppl) with the flattened (m, j)
+micro-step index fastest; the TPU grid is sequential, so VMEM scratch
+carries each lane's rANS state across the steps of its chunk.  Encode
+walks m and j in reverse (rANS encodes backwards) via reversed index
+maps.  The per-j hw slice is taken by the BlockSpec (hw blocked into
+ppl slices of ls lanes), NOT by in-kernel lane slicing: a lane-dim
+slice leaves a non-zero lane offset in the operand layout, and Mosaic
+cannot broadcast such operands along the sublane axis ("Invalid input
+layout").
 
 With ppl > 1 the encoder's per-lane word capacity is a caller-supplied
 budget (the guaranteed bound M*ppl+2 would blow VMEM); the caller must
@@ -114,32 +119,31 @@ def _enc_step(f_all, sym, x, p, words_ref, iota_c):
 
 
 def _enc_kernel(freq_ref, sym_ref, words_ref, counts_ref, states_ref,
-                x_s, p_s, *, ppl):
-    m = pl.program_id(1)
-    n_m = pl.num_programs(1)
-    hw = freq_ref.shape[-1]
-    ls = hw // ppl
+                x_s, p_s):
+    step = pl.program_id(1)
+    n_steps = pl.num_programs(1)
 
-    @pl.when(m == 0)
+    @pl.when(step == 0)
     def _():
         x_s[...] = jnp.full(x_s.shape, _RANS_L, jnp.uint32)
         p_s[...] = jnp.zeros(p_s.shape, jnp.int32)
         words_ref[...] = jnp.zeros(words_ref.shape, jnp.int32)
 
-    f4 = freq_ref[:, 0]                        # (Bc, S, hw)
-    sym4 = sym_ref[0]                          # (Bc, 1, hw)
+    # The (m, j) micro-step walk lives entirely in the BlockSpec index
+    # maps (grid axis 1 = m*ppl, m and j both descending): each step sees
+    # one (Bc, S, ls) freq block and (Bc, 1, ls) symbol block with a
+    # ZERO lane offset.  In-kernel lane slices (f4[:, :, j*ls:...]) leave
+    # a non-zero lane offset in the operand layout, and Mosaic cannot
+    # broadcast such an operand along the sublane (S) axis — "Invalid
+    # input layout" at compile.
+    f_all = freq_ref[:, 0]                     # (Bc, S, ls)
+    sym = sym_ref[0]                           # (Bc, 1, ls)
     iota_c = jax.lax.broadcasted_iota(jnp.int32, words_ref.shape, 1)
-    x = x_s[...]
-    p = p_s[...]
-    for jj in range(ppl):                      # encode: j descending
-        j = ppl - 1 - jj
-        f_all = f4[:, :, j * ls:(j + 1) * ls] if ppl > 1 else f4
-        sym = sym4[:, :, j * ls:(j + 1) * ls] if ppl > 1 else sym4
-        x, p = _enc_step(f_all, sym, x, p, words_ref, iota_c)
+    x, p = _enc_step(f_all, sym, x_s[...], p_s[...], words_ref, iota_c)
     x_s[...] = x
     p_s[...] = p
 
-    @pl.when(m == n_m - 1)
+    @pl.when(step == n_steps - 1)
     def _():
         counts_ref[...] = p_s[...][:, None, :]
         states_ref[...] = x_s[...][:, None, :]
@@ -160,15 +164,22 @@ def rans_encode_grid_pallas(freq, sym_mbl, ppl: int = 1, cap: int = None,
     ls = hw // ppl
     if cap is None:
         cap = m + 2 if ppl == 1 else m * ppl + 2
-    bc = _pick_chunk(b, s, hw, ls, cap)
-    grid = (b // bc, m)
+    bc = _pick_chunk(b, s, ls, ls, cap)
+    # grid axis 1 runs the (m, j) micro-steps flattened, both descending
+    # (rANS encodes backwards); the hw axis is blocked into ppl slices of
+    # ls lanes so each block lands with lane offset 0 (see _enc_kernel).
+    grid = (b // bc, m * ppl)
     words, counts, states = pl.pallas_call(
-        functools.partial(_enc_kernel, ppl=ppl),
+        _enc_kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((bc, 1, s, hw), lambda i, j: (i, m - 1 - j, 0, 0),
+            pl.BlockSpec((bc, 1, s, ls),
+                         lambda i, t: (i, m - 1 - t // ppl, 0,
+                                       ppl - 1 - t % ppl),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bc, 1, hw), lambda i, j: (m - 1 - j, i, 0, 0),
+            pl.BlockSpec((1, bc, 1, ls),
+                         lambda i, t: (m - 1 - t // ppl, i, 0,
+                                       ppl - 1 - t % ppl),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
@@ -223,31 +234,22 @@ def _dec_step(f_all, x, p, w, iota_c):
 
 
 def _dec_kernel(freq_ref, words_ref, counts_ref, states_ref, out_ref,
-                x_s, p_s, *, ppl):
-    m = pl.program_id(1)
-    hw = freq_ref.shape[-1]
-    ls = hw // ppl
+                x_s, p_s):
+    step = pl.program_id(1)
 
-    @pl.when(m == 0)
+    @pl.when(step == 0)
     def _():
         x_s[...] = states_ref[:, 0]
         p_s[...] = counts_ref[:, 0]
 
-    f4 = freq_ref[:, 0]                        # (Bc, S, hw)
+    # (m, j) micro-steps flattened on grid axis 1, both ascending; the
+    # block pipeline delivers zero-lane-offset (Bc, S, ls) freq blocks
+    # (see _enc_kernel for why in-kernel lane slices cannot be used).
+    f_all = freq_ref[:, 0]                     # (Bc, S, ls)
     w = words_ref[...]                         # (Bc, C, ls)
     iota_c = jax.lax.broadcasted_iota(jnp.int32, w.shape, 1)
-    x = x_s[...]
-    p = p_s[...]
-    if ppl == 1:
-        sym, x, p = _dec_step(f4, x, p, w, iota_c)
-        out_ref[0] = sym[:, None, :]
-    else:
-        syms = []
-        for j in range(ppl):                   # decode: j ascending
-            f_all = f4[:, :, j * ls:(j + 1) * ls]
-            sym, x, p = _dec_step(f_all, x, p, w, iota_c)
-            syms.append(sym)
-        out_ref[0] = jnp.concatenate(syms, axis=-1)[:, None, :]
+    sym, x, p = _dec_step(f_all, x_s[...], p_s[...], w, iota_c)
+    out_ref[0] = sym[:, None, :]
     x_s[...] = x
     p_s[...] = p
 
@@ -260,22 +262,24 @@ def rans_decode_grid_pallas(freq, words, counts, states, ppl: int = 1,
     b, m, s, hw = freq.shape
     ls = hw // ppl
     c_cap = words.shape[1]
-    bc = _pick_chunk(b, s, hw, ls, c_cap)
-    grid = (b // bc, m)
+    bc = _pick_chunk(b, s, ls, ls, c_cap)
+    grid = (b // bc, m * ppl)
     syms = pl.pallas_call(
-        functools.partial(_dec_kernel, ppl=ppl),
+        _dec_kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((bc, 1, s, hw), lambda i, j: (i, j, 0, 0),
+            pl.BlockSpec((bc, 1, s, ls),
+                         lambda i, t: (i, t // ppl, 0, t % ppl),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((bc, c_cap, ls), lambda i, j: (i, 0, 0),
+            pl.BlockSpec((bc, c_cap, ls), lambda i, t: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((bc, 1, ls), lambda i, j: (i, 0, 0),
+            pl.BlockSpec((bc, 1, ls), lambda i, t: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((bc, 1, ls), lambda i, j: (i, 0, 0),
+            pl.BlockSpec((bc, 1, ls), lambda i, t: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, bc, 1, hw), lambda i, j: (j, i, 0, 0),
+        out_specs=pl.BlockSpec((1, bc, 1, ls),
+                               lambda i, t: (t // ppl, i, 0, t % ppl),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((m, b, 1, hw), jnp.int32),
         scratch_shapes=[
