@@ -250,7 +250,9 @@ def bench_hesic_plus_device():
     rng = np.random.RandomState(0)
 
     calib_steps = int(os.environ.get("BENCH_CALIB_STEPS", "60"))
-    module = HESICPlus(N=192, M=192)
+    use_bf16 = os.environ.get("BENCH_BF16", "1") == "1"
+    module = HESICPlus(N=192, M=192,
+                       dtype=jnp.bfloat16 if use_bf16 else None)
     if calib_steps > 0:
         params = _calibrate(module, rng, calib_steps)
         base = HESICPlusCodec(module, params)

@@ -39,39 +39,53 @@ class HESICPlus(nn.Module):
 
     N: int = 128
     M: int = 192
+    dtype: object = None  # transform compute dtype (e.g. bf16); EB /
+    # Gaussian likelihood math stays f32
 
     entropy_bottlenecks = ("entropy_bottleneck1", "entropy_bottleneck2")
     gaussian_conditionals = ("gaussian_conditional1", "gaussian_conditional2")
 
     def setup(self):
-        n, m = self.N, self.M
-        self.encoder1 = StereoEncoder(N=n, M=m)
-        self.encoder2 = StereoEncoder2(N=n, M=m)
-        self.decoder1 = StereoDecoder(N=n)
-        self.decoder2 = StereoDecoder2(N=n)
+        n, m, d = self.N, self.M, self.dtype
+        self.encoder1 = StereoEncoder(N=n, M=m, dtype=d)
+        self.encoder2 = StereoEncoder2(N=n, M=m, dtype=d)
+        self.decoder1 = StereoDecoder(N=n, dtype=d)
+        self.decoder2 = StereoDecoder2(N=n, dtype=d)
 
-        self.h_a1 = [Conv(n, kernel_size=3, stride=1), nn.leaky_relu,
-                     Conv(n), nn.leaky_relu, Conv(n)]
-        self.h_s1 = [Deconv(m), nn.leaky_relu, Deconv(m * 3 // 2),
-                     nn.leaky_relu, Conv(m * 2, kernel_size=3, stride=1)]
+        self.h_a1 = [Conv(n, kernel_size=3, stride=1, dtype=d),
+                     nn.leaky_relu,
+                     Conv(n, dtype=d), nn.leaky_relu, Conv(n, dtype=d)]
+        self.h_s1 = [Deconv(m, dtype=d), nn.leaky_relu,
+                     Deconv(m * 3 // 2, dtype=d),
+                     nn.leaky_relu,
+                     Conv(m * 2, kernel_size=3, stride=1, dtype=d)]
         self.entropy_parameters1 = [
-            Conv(m * 10 // 3, kernel_size=1, stride=1), nn.leaky_relu,
-            Conv(m * 8 // 3, kernel_size=1, stride=1), nn.leaky_relu,
-            Conv(m * 6 // 3, kernel_size=1, stride=1)]
+            Conv(m * 10 // 3, kernel_size=1, stride=1, dtype=d),
+            nn.leaky_relu,
+            Conv(m * 8 // 3, kernel_size=1, stride=1, dtype=d),
+            nn.leaky_relu,
+            Conv(m * 6 // 3, kernel_size=1, stride=1, dtype=d)]
         self.context_prediction1 = MaskedConv2d(features=2 * m,
-                                                kernel_size=5, mask_type="A")
+                                                kernel_size=5, mask_type="A",
+                                                dtype=d)
 
-        self.h_a2 = [Conv(n, kernel_size=3, stride=1), nn.leaky_relu,
-                     Conv(n), nn.leaky_relu, Conv(n)]
-        self.h_s2 = [Deconv(m), nn.leaky_relu, Deconv(m * 3 // 2),
-                     nn.leaky_relu, Conv(m * 2, kernel_size=3, stride=1)]
+        self.h_a2 = [Conv(n, kernel_size=3, stride=1, dtype=d),
+                     nn.leaky_relu,
+                     Conv(n, dtype=d), nn.leaky_relu, Conv(n, dtype=d)]
+        self.h_s2 = [Deconv(m, dtype=d), nn.leaky_relu,
+                     Deconv(m * 3 // 2, dtype=d),
+                     nn.leaky_relu,
+                     Conv(m * 2, kernel_size=3, stride=1, dtype=d)]
         # 5M input: cat(params2, ctx2, left prior) (newnet1_joint.py:659-665)
         self.entropy_parameters2 = [
-            Conv(m * 10 // 3, kernel_size=1, stride=1), nn.leaky_relu,
-            Conv(m * 8 // 3, kernel_size=1, stride=1), nn.leaky_relu,
-            Conv(m * 6 // 3, kernel_size=1, stride=1)]
+            Conv(m * 10 // 3, kernel_size=1, stride=1, dtype=d),
+            nn.leaky_relu,
+            Conv(m * 8 // 3, kernel_size=1, stride=1, dtype=d),
+            nn.leaky_relu,
+            Conv(m * 6 // 3, kernel_size=1, stride=1, dtype=d)]
         self.context_prediction2 = MaskedConv2d(features=2 * m,
-                                                kernel_size=5, mask_type="A")
+                                                kernel_size=5, mask_type="A",
+                                                dtype=d)
 
         self.entropy_bottleneck1 = EntropyBottleneck(channels=n)
         self.entropy_bottleneck2 = EntropyBottleneck(channels=n)
@@ -99,35 +113,35 @@ class HESICPlus(nn.Module):
         z = y1
         for layer in self.h_a1:
             z = layer(z)
-        return z
+        return z.astype(jnp.float32)
 
     def hyper_analysis2(self, y2):
         z = y2
         for layer in self.h_a2:
             z = layer(z)
-        return z
+        return z.astype(jnp.float32)
 
     def hyper_synthesis1(self, z1_hat):
         p = z1_hat
         for layer in self.h_s1:
             p = layer(p)
-        return p
+        return p.astype(jnp.float32)
 
     def hyper_synthesis2(self, z2_hat):
         p = z2_hat
         for layer in self.h_s2:
             p = layer(p)
-        return p
+        return p.astype(jnp.float32)
 
     def entropy_params1(self, x):
         for layer in self.entropy_parameters1:
             x = layer(x)
-        return x
+        return x.astype(jnp.float32)
 
     def entropy_params2(self, x):
         for layer in self.entropy_parameters2:
             x = layer(x)
-        return x
+        return x.astype(jnp.float32)
 
     def left_prior(self, x1_hat, h_matrix):
         """Decoder-reproducible cross-eye prior (newnet1_joint.py:714-718),
@@ -206,11 +220,12 @@ class HESICPlusTogether(nn.Module):
 
     N: int = 128
     M: int = 192
+    dtype: object = None
 
     entropy_bottlenecks = ("m1/entropy_bottleneck1", "m1/entropy_bottleneck2")
 
     def setup(self):
-        self.m1 = HESICPlus(N=self.N, M=self.M)
+        self.m1 = HESICPlus(N=self.N, M=self.M, dtype=self.dtype)
         self.m2 = IndependentEnhancement()
 
     def aux_loss(self):

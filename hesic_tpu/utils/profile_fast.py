@@ -4,6 +4,10 @@ Usage: python -m hesic_tpu.utils.profile_fast [--size 512 --batch 16 --mm 16]
 
 Times each jitted device program (steady-state, block_until_ready) so the
 optimization loop has ground truth instead of whole-pipeline guesses.
+Mirrors the call sequence of ``HESICFastCodec.compress_fast`` /
+``decompress_fast_batch`` (models/hesic_fast.py), including the r3
+container features: data-derived grid centers, per-eye mm buckets, and
+positions-per-lane stream programs.
 """
 
 from __future__ import annotations
@@ -20,6 +24,7 @@ def _time(fn, *args, n=6, warmup=2):
     for _ in range(warmup):
         out = fn(*args)
     jax.block_until_ready(out)
+    # tunnel-safe sync: fetch one element of the first array output
     t0 = time.time()
     for _ in range(n):
         out = fn(*args)
@@ -33,7 +38,11 @@ def main(argv=None):
     p.add_argument("--batch", type=int, default=16)
     p.add_argument("--mm", type=int, default=16)
     p.add_argument("--bf16", type=int, default=1)
-    p.add_argument("--codec-batch", type=int, default=8)
+    p.add_argument("--codec-batch", type=int, default=None,
+                   help="canonical cond batch (default: --batch)")
+    p.add_argument("--calib-steps", type=int, default=0,
+                   help="seeded training steps before profiling (bench "
+                        "realism: untrained priors emit ~16 b/sym)")
     args = p.parse_args(argv)
 
     import os
@@ -46,20 +55,33 @@ def main(argv=None):
         pass
 
     from ..models import HESIC, HESICFastCodec
-
-    module = HESIC(N=128, M=192, K=5,
-                   dtype=jnp.bfloat16 if args.bf16 else None)
-    codec = HESICFastCodec.init(
-        module, [(1, args.size, args.size, 3), (1, args.size, args.size, 3),
-                 (1, 3, 3)])
-    codec = HESICFastCodec(codec.module, codec.params, mm=args.mm,
-                           codec_batch=args.codec_batch)
-    codec.update()
+    from ..models.hesic_fast import _gmm_freq_fast, auto_ppl, pick_mm
 
     b, hw = args.batch, args.size
+    cb = args.codec_batch or b
+    module = HESIC(N=128, M=192, K=5,
+                   dtype=jnp.bfloat16 if args.bf16 else None)
     rng = np.random.RandomState(0)
-    x1 = jnp.asarray(rng.rand(b, hw, hw, 3), jnp.float32)
-    x2 = jnp.asarray(rng.rand(b, hw, hw, 3), jnp.float32)
+    if args.calib_steps > 0:
+        import sys
+        sys.path.insert(0, os.getcwd())
+        from bench import _calibrate
+        params = _calibrate(module, rng, args.calib_steps)
+        codec = HESICFastCodec(module, params, mm=args.mm, codec_batch=cb)
+    else:
+        codec = HESICFastCodec.init(
+            module, [(1, hw, hw, 3), (1, hw, hw, 3), (1, 3, 3)])
+        codec = HESICFastCodec(codec.module, codec.params, mm=args.mm,
+                               codec_batch=cb)
+    codec.update()
+
+    def smooth(shape):
+        base = rng.rand(*[s // 8 for s in shape[:-1]], shape[-1])
+        t = jnp.asarray(base, jnp.float32)
+        return jax.image.resize(t, shape, "bilinear")
+
+    x1 = smooth((b, hw, hw, 3))
+    x2 = smooth((b, hw, hw, 3))
     h = jnp.tile(jnp.eye(3, dtype=jnp.float32)[None], (b, 1, 1))
 
     report = {}
@@ -67,28 +89,38 @@ def main(argv=None):
     t, enc = _time(lambda: codec._fn("transforms_enc")(
         codec.params, x1, x2, h))
     report["transforms_enc"] = t
-    y1_hat, y2_hat, z1_sym, z2_sym = enc[0], enc[1], enc[2], enc[3]
+    (y1_hat, y2_hat, z1_sym, z2_sym, _wov, dc1, dc2, sp1, sp2) = enc
+    sp1_np, sp2_np, dc1_np, dc2_np = jax.device_get((sp1, sp2, dc1, dc2))
+    mm1 = pick_mm(int(sp1_np), codec.mm)
+    mm2 = pick_mm(int(sp2_np), codec.mm)
+    cen1 = jnp.asarray(dc1_np)
+    cen2 = jnp.asarray(dc2_np)
 
-    t, c1out = _time(codec._cond1, z1_sym)
+    t, freq1 = _time(codec._cond1, z1_sym, cen1, mm1)
     report["cond1"] = t
-    freq1, cen1 = c1out
-    t, s1 = _time(codec._fn("encode_stream"), freq1, y1_hat, cen1)
-    report["encode_stream(y1)"] = t
-    t, c2out = _time(codec._cond2, y1_hat, z2_sym, h)
+    t, c2out = _time(codec._cond2, y1_hat, z2_sym, h, cen2, mm2)
     report["cond2"] = t
-    freq2, cen2, x1_hat = c2out
-    t, s2 = _time(codec._fn("encode_stream"), freq2, y2_hat, cen2)
+    freq2, x1_hat = c2out
+
+    hw_y = y1_hat.shape[1] * y1_hat.shape[2]
+    ppl = auto_ppl(hw_y, codec.ppl)
+    cap = codec._enc_cap(ppl, codec.module.M)
+    enc1, dec1 = codec._stream_fns(ppl, cap, mm1)
+    enc2, dec2 = codec._stream_fns(ppl, cap, mm2)
+    t, s1 = _time(enc1, freq1, y1_hat, cen1)
+    report[f"encode_stream(y1, ppl={ppl})"] = t
+    t, s2 = _time(enc2, freq2, y2_hat, cen2)
     report["encode_stream(y2)"] = t
 
-    y_shape = (hw // 16, hw // 16)
-    t, _ = _time(codec._fn("decode_stream"), freq1, s1[0].astype(jnp.int32),
-                 s1[1], s1[2], cen1, y_shape)
+    y_shape = (y1_hat.shape[1], y1_hat.shape[2])
+    t, _ = _time(dec1, freq1, s1[0].astype(jnp.int32), s1[1], s1[2],
+                 cen1, y_shape, s1[4])
     report["decode_stream(y1)"] = t
     t, _ = _time(codec._fn("synth_out"), codec.params, x1_hat, y2_hat, h)
     report["synth_out"] = t
 
-    # cond2 internals at the canonical batch
-    b0 = args.codec_batch
+    # ---- cond2 internals at the canonical batch ----
+    b0 = cb
     y1c, z2c, hc = y1_hat[:b0], z2_sym[:b0], h[:b0]
 
     def apply(method, *a):
@@ -98,9 +130,17 @@ def main(argv=None):
     syn1 = jax.jit(lambda y: apply("synthesis1", y.astype(jnp.float32)))
     t, x1c = _time(syn1, y1c)
     report["  cond2/synthesis1"] = t
-    lp = jax.jit(lambda x, hh: apply("left_prior", x, hh))
-    t, y1p = _time(lp, x1c, hc)
-    report["  cond2/left_prior"] = t
+
+    from ..geometry import warp_perspective_mxu
+
+    def reenc_fn(x, hh):
+        size = (x.shape[1], x.shape[2])
+        xw, _ = warp_perspective_mxu(x, hh, size)
+        return jnp.round(apply("analysis1", xw))
+
+    reenc = jax.jit(reenc_fn)
+    t, y1p = _time(reenc, x1c, hc)
+    report["  cond2/warp+analysis1"] = t
 
     def gmm2_fn(z, yp):
         med2 = codec.params["entropy_bottleneck2"]["quantiles"][:, 0, 1]
@@ -111,9 +151,9 @@ def main(argv=None):
     t, g2 = _time(gmm2, z2c, y1p)
     report["  cond2/gmm2_heads"] = t
 
-    from ..models.hesic_fast import _gmm_freq_fast
-    freq_fn = jax.jit(lambda s, m, w: _gmm_freq_fast(s, m, w, args.mm, 5))
-    t, _ = _time(freq_fn, g2[0], g2[1], g2[2])
+    freq_fn = jax.jit(lambda s, m, w, c: _gmm_freq_fast(
+        s, m, w, mm2, codec.module.K, center=c)[0])
+    t, _ = _time(freq_fn, g2[0], g2[1], g2[2], cen2[:b0])
     report["  cond2/gmm_freq(pmf+quant)"] = t
 
     # cond1 internals
@@ -124,7 +164,9 @@ def main(argv=None):
     gmm1 = jax.jit(gmm1_fn)
     t, g1 = _time(gmm1, z1_sym[:b0])
     report["  cond1/gmm1_heads"] = t
-    t, _ = _time(freq_fn, g1[0], g1[1], g1[2])
+    freq_fn1 = jax.jit(lambda s, m, w, c: _gmm_freq_fast(
+        s, m, w, mm1, codec.module.K, center=c)[0])
+    t, _ = _time(freq_fn1, g1[0], g1[1], g1[2], cen1[:b0])
     report["  cond1/gmm_freq(pmf+quant)"] = t
 
     total = sum(v for k, v in report.items() if not k.startswith("  "))
@@ -136,21 +178,23 @@ def main(argv=None):
     t0 = time.time()
     for _ in range(4):
         out = codec.compress_fast(x1, x2, h, batch_container=True)
-    report["compress_fast e2e"] = t_enc = (time.time() - t0) / 4
+    t_enc = (time.time() - t0) / 4
+    report["compress_fast e2e"] = t_enc
     t0 = time.time()
     for _ in range(4):
         rec = codec.decompress_fast_batch(out["blob"])
         jax.block_until_ready(rec["x2_hat"])
-    report["decompress e2e"] = t_dec = (time.time() - t0) / 4
+    t_dec = (time.time() - t0) / 4
+    report["decompress_fast e2e"] = t_dec
 
-    print(f"\n== fast-codec device timing (size={args.size} batch={b} "
-          f"mm={args.mm} bf16={args.bf16} codec_batch={b0}) ==")
+    print(f"\nHESIC fast codec profile  size={hw} batch={b} mm={args.mm} "
+          f"(mm1={mm1} mm2={mm2}) ppl={ppl} bf16={bool(args.bf16)} "
+          f"bpp_real={out['bpp_real']:.4f}")
     for k, v in report.items():
-        print(f"{k:32s} {v * 1e3:8.1f} ms")
-    print(f"{'TOTAL (top-level, per rt)':32s} {total * 1e3:8.1f} ms"
-          f"  -> {b / total:6.1f} pairs/s device-bound")
-    print(f"{'serial e2e':32s} {b / (t_enc + t_dec):8.2f} pairs/s  "
-          f"bpp={out['bpp_real']:.4f}")
+        print(f"  {k:32s} {v * 1000:8.1f} ms")
+    print(f"  {'device programs (sum)':32s} {total * 1000:8.1f} ms")
+    print(f"  roundtrip e2e: {(t_enc + t_dec) * 1000:.1f} ms "
+          f"-> {b / (t_enc + t_dec):.2f} pairs/s")
 
 
 if __name__ == "__main__":
