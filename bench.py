@@ -63,19 +63,26 @@ def _smooth_pair(rng, hw):
     return x1[None], x2[None]
 
 
-def _calibrate(module, rng, steps: int, hw: int = 256, batch: int = 4):
+def _calibrate(module, rng, steps: int, hw: int = 256, batch: int = 4,
+               arch: str = "hesic"):
     """Short seeded training run so the bench model's entropy code is
     sane — an untrained prior maxes out bits/symbol and the benchmark
-    would measure pathological payload sizes instead of realistic ones."""
+    would measure pathological payload sizes instead of realistic ones.
+
+    ``arch='dsic'`` drops the homography input (DSIC's forward takes
+    (x1, x2) only)."""
     import jax
     import jax.numpy as jnp
     from hesic_tpu.training import (TrainState, make_optimizer,
                                     make_train_step,
                                     stereo_rate_distortion_loss)
+    with_h = arch != "dsic"
 
     def loss_fn(module, params, batch_d, rng_key):
-        out = module.apply({"params": params}, batch_d["x1"],
-                           batch_d["x2"], batch_d["h"], training=True,
+        fwd_args = (batch_d["x1"], batch_d["x2"])
+        if with_h:
+            fwd_args += (batch_d["h"],)
+        out = module.apply({"params": params}, *fwd_args, training=True,
                            rngs={"noise": rng_key})
         rd = stereo_rate_distortion_loss(out, batch_d["x1"],
                                          batch_d["x2"], lmbda=1e-2)
@@ -89,10 +96,12 @@ def _calibrate(module, rng, steps: int, hw: int = 256, batch: int = 4):
         "h": jnp.tile(jnp.eye(3, dtype=jnp.float32)[None],
                       (batch, 1, 1)),
     }
+    init_args = (batch_d["x1"][:1], batch_d["x2"][:1])
+    if with_h:
+        init_args += (batch_d["h"][:1],)
     params = module.init(
         {"params": jax.random.PRNGKey(0), "noise": jax.random.PRNGKey(1)},
-        batch_d["x1"][:1], batch_d["x2"][:1], batch_d["h"][:1],
-        training=True)["params"]
+        *init_args, training=True)["params"]
     tx = make_optimizer(1e-4, 1e-3)
     state = TrainState.create(params, tx)
     step = make_train_step(module, tx, loss_fn)
@@ -297,9 +306,6 @@ def bench_dsic():
     import jax
     import jax.numpy as jnp
     from hesic_tpu.models import DSIC, DSICFastCodec
-    from hesic_tpu.training import (TrainState, make_optimizer,
-                                    make_train_step,
-                                    stereo_rate_distortion_loss)
 
     hw = int(os.environ.get("BENCH_SIZE", "512"))
     batch = int(os.environ.get("BENCH_BATCH", "16"))
@@ -312,33 +318,7 @@ def bench_dsic():
                   dtype=jnp.bfloat16 if use_bf16 else None)
 
     if calib_steps > 0:
-        def loss_fn(module, params, batch_d, rng_key):
-            out = module.apply({"params": params}, batch_d["x1"],
-                               batch_d["x2"], training=True,
-                               rngs={"noise": rng_key})
-            rd = stereo_rate_distortion_loss(out, batch_d["x1"],
-                                             batch_d["x2"], lmbda=1e-2)
-            aux = module.apply({"params": params}, method="aux_loss")
-            return rd["loss"] + aux, {"bpp": rd["bpp_loss"]}
-
-        chw = 256
-        xs = [_smooth_pair(rng, chw) for _ in range(4)]
-        batch_d = {
-            "x1": jnp.asarray(np.concatenate([p[0] for p in xs])),
-            "x2": jnp.asarray(np.concatenate([p[1] for p in xs])),
-        }
-        params = module.init(
-            {"params": jax.random.PRNGKey(0),
-             "noise": jax.random.PRNGKey(1)},
-            batch_d["x1"][:1], batch_d["x2"][:1], training=True)["params"]
-        tx = make_optimizer(1e-4, 1e-3)
-        state = TrainState.create(params, tx)
-        step = make_train_step(module, tx, loss_fn)
-        key = jax.random.PRNGKey(7)
-        for _ in range(calib_steps):
-            key, sub = jax.random.split(key)
-            state, _ = step(state, batch_d, sub)
-        params = state.params
+        params = _calibrate(module, rng, calib_steps, arch="dsic")
         codec = DSICFastCodec(module, params, mm=mm, codec_batch=batch)
     else:
         codec = DSICFastCodec.init(

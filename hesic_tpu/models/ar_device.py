@@ -502,20 +502,136 @@ class HESICPlusDeviceCodec:
     re-encoded decoded-left prior — the `post` input of the wavefront
     program, reference newnet1_joint.py:659-665).
 
-    Wraps a HESICPlusCodec (provides transforms, EB tables, the
-    decoder-reproducible `left_prior` program, and the container-free
-    sub-programs).  One blob codes the whole batch of pairs.
+    Wraps a HESICPlusCodec (provides transforms, EB tables and params).
+    One blob codes the whole batch of pairs.
+
+    Dispatch discipline (the tunnel-latency lesson of the r3 profile —
+    ~15 sequential dispatches with interleaved host syncs measured
+    ~390 ms of sync floor per stage):
+
+    * ``_chain`` fuses the ENTIRE coding chain — hyper_synthesis1 →
+      wavefront eye1 → synthesis1 → left-prior (MXU warp + analysis1) →
+      hyper_synthesis2 → wavefront eye2 — into ONE jitted program.
+      Encode and decode run the SAME compiled executable (teacher is a
+      traced flag and every input keeps the same shape on both sides:
+      words buffers are zeros-(L, cap) on encode), so the float
+      parameter chain feeding the coder cannot drift between the two
+      directions — the bit-exactness invariant, now held by
+      construction rather than per-stage program sharing.
+    * Encode adds one enc-only transforms program and the two Mosaic
+      pairs encoders; decode adds one dec-only output program.  All
+      host transfers ride a single batched fetch per direction.
+    * Warps use the MXU one-hot-contraction formulation
+      (geometry/fast_warp.py) — the exact gather warp measured
+      ~400 ms/call on 512² batch 4 (r2's hesic_fast lesson, applied
+      here): the left prior is any shared deterministic function, so
+      only determinism matters, not kornia parity.
     """
 
-    def __init__(self, base, mm: int = 16, groups: int = 8):
+    def __init__(self, base, mm: int = 16, groups: int = 8,
+                 cap: int = 256):
         from .autoregressive import extract_ar_weights
         self.base = base
         self.mm = mm
         self.groups = groups
+        self.cap = cap
         self.w1 = extract_ar_weights(base.params, "context_prediction1",
                                      "entropy_parameters1")
         self.w2 = extract_ar_weights(base.params, "context_prediction2",
                                      "entropy_parameters2")
+        self._progs = {}
+
+    # ---- fused device programs ----
+
+    def _enc_transforms(self):
+        """Enc-only: images -> float latents + integer z symbols."""
+        if "enc" in self._progs:
+            return self._progs["enc"]
+        module = self.base.module
+        from ..geometry.fast_warp import warp_perspective_mxu
+
+        @jax.jit
+        def fn(params, x1, x2, h):
+            def apply(method, *args):
+                return module.apply({"params": params}, *args,
+                                    method=method)
+            size = (x1.shape[1], x1.shape[2])
+            y1 = apply("analysis1", x1)
+            z1 = apply("hyper_analysis1", y1)
+            med1 = params["entropy_bottleneck1"]["quantiles"][:, 0, 1]
+            z1_sym = jnp.round(z1 - med1).astype(jnp.int32)
+            x1_warp, _ = warp_perspective_mxu(x1, h, size)
+            y2 = apply("analysis2", x1_warp, x2)
+            z2 = apply("hyper_analysis2", y2)
+            med2 = params["entropy_bottleneck2"]["quantiles"][:, 0, 1]
+            z2_sym = jnp.round(z2 - med2).astype(jnp.int32)
+            return y1, y2, z1_sym, z2_sym
+
+        self._progs["enc"] = fn
+        return fn
+
+    def _chain(self):
+        """The shared both-eyes coding program (see class docstring)."""
+        if "chain" in self._progs:
+            return self._progs["chain"]
+        module = self.base.module
+        w1, w2, mm, groups = self.w1, self.w2, self.mm, self.groups
+        from ..geometry.fast_warp import warp_perspective_mxu
+
+        @jax.jit
+        def fn(params, z1_sym, z2_sym, y1, y2, wo1, c1, st1,
+               wo2, c2, st2, cm1, cv1, cm2, cv2, h, teacher):
+            def apply(method, *args):
+                return module.apply({"params": params}, *args,
+                                    method=method)
+            b, hy, wy, _ = y1.shape
+            med1 = params["entropy_bottleneck1"]["quantiles"][:, 0, 1]
+            med2 = params["entropy_bottleneck2"]["quantiles"][:, 0, 1]
+            pre1 = apply("hyper_synthesis1",
+                         z1_sym.astype(jnp.float32) + med1)
+            zpost = jnp.zeros((b, hy, wy, 0), jnp.float32)
+            s1, f1, y1_hat, r1 = _run_wavefront(
+                w1, pre1, zpost, y1, cm1, cv1, wo1, c1, st1, teacher,
+                hy, wy, mm, groups)
+            x1_hat = apply("synthesis1", y1_hat)
+            size = (x1_hat.shape[1], x1_hat.shape[2])
+            x1w, _ = warp_perspective_mxu(x1_hat, h, size)
+            # left prior = eval-quantized re-encode of the decoded left
+            # (hesic_plus.py left_prior semantics, MXU warp)
+            y1_prior = jnp.round(apply("analysis1", x1w))
+            pre2 = apply("hyper_synthesis2",
+                         z2_sym.astype(jnp.float32) + med2)
+            s2, f2, y2_hat, r2 = _run_wavefront(
+                w2, pre2, y1_prior, y2, cm2, cv2, wo2, c2, st2, teacher,
+                hy, wy, mm, groups)
+            n1 = jnp.sum(jnp.abs(r1) > mm)
+            n2 = jnp.sum(jnp.abs(r2) > mm)
+            return s1, f1, s2, f2, y1_hat, y2_hat, x1_hat, r1, r2, n1, n2
+
+        self._progs["chain"] = fn
+        return fn
+
+    def _dec_out(self):
+        """Dec-only: right reconstruction from decoded latents."""
+        if "dec" in self._progs:
+            return self._progs["dec"]
+        module = self.base.module
+        from ..geometry.fast_warp import warp_perspective_mxu
+
+        @jax.jit
+        def fn(params, y2_hat, x1_hat, h):
+            size = (x1_hat.shape[1], x1_hat.shape[2])
+            x1w, _ = warp_perspective_mxu(x1_hat, h, size)
+            return module.apply({"params": params}, y2_hat, x1w,
+                                method="synthesis2")
+
+        self._progs["dec"] = fn
+        return fn
+
+    def _lanes(self, b: int, hy: int, wy: int) -> int:
+        _, _, _, p_max = schedule(hy, wy)
+        m = self.w1.ctx_kernel.shape[2]
+        return b * p_max * (m // self.groups)
 
     @staticmethod
     def _pack_escapes(resid_np, mm):
@@ -545,6 +661,7 @@ class HESICPlusDeviceCodec:
     def compress(self, x1, x2, h_matrix):
         import time
         from ..codecs.device_rans import pack_stream
+        from ..entropy_models.codec import compress_with_indexes
         start = time.time()
         base = self.base
         x1 = jnp.asarray(x1, jnp.float32)
@@ -556,57 +673,95 @@ class HESICPlusDeviceCodec:
         h_matrix = jnp.asarray(h_matrix, jnp.float32)
         if h_matrix.shape[0] != x1.shape[0]:
             h_matrix = jnp.broadcast_to(h_matrix, (x1.shape[0], 3, 3))
-        from ..geometry import warp_perspective
-        size = (x1.shape[1], x1.shape[2])
+        b = x1.shape[0]
+        hy, wy = x1.shape[1] // 16, x1.shape[2] // 16
+        m = self.w1.ctx_kernel.shape[2]
+        cap = self.cap
+        params = base.params
 
-        y1 = base.jit("analysis1")(x1)
-        z1 = base.jit("hyper_analysis1")(y1)
-        z1_strings = base.eb_compress("entropy_bottleneck1", z1)
-        z1_hat = base.eb_decompress("entropy_bottleneck1", z1_strings,
-                                    z1.shape[1:3])
-        pre1 = base.jit("hyper_synthesis1")(z1_hat)
-        wo1, c1, st1, y1_hat, r1, n1 = wavefront_encode(
-            self.w1, y1, pre1, mm=self.mm, groups=self.groups)
-        x1_hat = base.jit("synthesis1")(y1_hat)
+        y1, y2, z1_sym, z2_sym = self._enc_transforms()(
+            params, x1, x2, h_matrix)
+        lanes = self._lanes(b, hy, wy)
+        zw = jnp.zeros((lanes, cap), jnp.int32)
+        zl = jnp.zeros((lanes,), jnp.int32)
+        zs = zl.astype(jnp.uint32)
+        zi = jnp.zeros((b, hy, wy, m), jnp.int32)
+        (s1, f1, s2, f2, y1_hat, y2_hat, _x1_hat, r1, r2,
+         n1_d, n2_d) = self._chain()(
+            params, z1_sym, z2_sym, y1, y2, zw, zl, zs, zw, zl, zs,
+            zi, zi, zi, zi, h_matrix, jnp.bool_(True))
 
-        x1_warp = warp_perspective(x1, h_matrix, size)
-        y2 = base.jit("analysis2")(x1_warp, x2)
-        z2 = base.jit("hyper_analysis2")(y2)
-        z2_strings = base.eb_compress("entropy_bottleneck2", z2)
-        z2_hat = base.eb_decompress("entropy_bottleneck2", z2_strings,
-                                    z2.shape[1:3])
-        pre2 = base.jit("hyper_synthesis2")(z2_hat)
-        y1_prior = base.jit("left_prior")(x1_hat, h_matrix)
-        wo2, c2, st2, y2_hat, r2, n2 = wavefront_encode(
-            self.w2, y2, pre2, post=y1_prior, mm=self.mm,
-            groups=self.groups)
+        valid = wavefront_valid_mask(hy, wy, b, self.groups, m)
+        wo1, c1_d, st1 = self._dispatch_pairs(s1, f1, valid, cap)
+        wo2, c2_d, st2 = self._dispatch_pairs(s2, f2, valid, cap)
+
+        # ONE batched host sync for everything the container needs
+        (z1s_np, z2s_np, wo1_np, c1, st1_np, wo2_np, c2, st2_np,
+         n1, n2) = jax.device_get(
+            (z1_sym, z2_sym, wo1, c1_d, st1, wo2, c2_d, st2,
+             n1_d, n2_d))
+        wo1_np, c1, st1_np = self._retry_overflow(
+            s1, f1, valid, cap, wo1_np, c1, st1_np)
+        wo2_np, c2, st2_np = self._retry_overflow(
+            s2, f2, valid, cap, wo2_np, c2, st2_np)
+
+        # host EB coding of the z symbols (CDF tables, C++ rANS)
+        z_strings = []
+        for name, sym in (("entropy_bottleneck1", z1s_np),
+                          ("entropy_bottleneck2", z2s_np)):
+            idx = np.broadcast_to(
+                np.arange(sym.shape[-1], dtype=np.int32), sym.shape)
+            z_strings.append(compress_with_indexes(
+                sym, idx, base.tables[name]))
 
         blob = bytearray()
         blob += bytes([wavefront_backend_id()])
-        blob += np.array([x1.shape[0], x1.shape[1], x1.shape[2],
-                          z1.shape[1], z1.shape[2]], np.uint32).tobytes()
+        blob += np.array([b, x1.shape[1], x1.shape[2],
+                          z1_sym.shape[1], z1_sym.shape[2]],
+                         np.uint32).tobytes()
         # the full resid tensors cross the link only when escapes exist
         empty = np.zeros((0,), np.int32)
         blob += self._pack_escapes(
-            np.asarray(r1) if n1 else empty, self.mm)
+            np.asarray(r1) if int(n1) else empty, self.mm)
         blob += self._pack_escapes(
-            np.asarray(r2) if n2 else empty, self.mm)
-        for strs in (z1_strings, z2_strings):
+            np.asarray(r2) if int(n2) else empty, self.mm)
+        for strs in z_strings:
             for s in strs:
                 blob += np.array([len(s)], np.uint32).tobytes() + s
         blob += np.asarray(h_matrix, np.float32).tobytes()
-        blob += pack_stream(wo1, c1, st1)
-        blob += pack_stream(wo2, c2, st2)
-        num_pixels = 2 * x1.shape[0] * x1.shape[1] * x1.shape[2]
-        return {"strings": [bytes(blob)],
+        blob += pack_stream(wo1_np, c1, st1_np)
+        blob += pack_stream(wo2_np, c2, st2_np)
+        num_pixels = 2 * b * x1.shape[1] * x1.shape[2]
+        return {"strings": [bytes(blob)], "shape": (hy, wy),
                 "y1_hat": y1_hat, "y2_hat": y2_hat,
                 "bpp_real": len(blob) * 8 / num_pixels,
                 "enctime": time.time() - start}
 
+    def _dispatch_pairs(self, starts, freqs, valid, cap):
+        """Dispatch one eye's slot-stream encoder (no host sync)."""
+        if _use_pallas_wavefront():
+            from ..codecs.pallas_rans import rans_encode_pairs_pallas
+            return rans_encode_pairs_pallas(
+                starts.astype(jnp.uint32), freqs.astype(jnp.uint32),
+                valid, cap=cap)
+        from ..codecs.device_rans import rans_encode_grid
+        return rans_encode_grid(
+            starts.astype(jnp.uint32), freqs.astype(jnp.uint32), valid)
+
+    def _retry_overflow(self, starts, freqs, valid, cap, words, counts,
+                        states):
+        """Re-encode one eye with a doubled word budget if any lane
+        overflowed the cap (pathological payloads only)."""
+        while _use_pallas_wavefront() and int(counts.max()) > cap:
+            cap *= 2
+            w_d, c_d, s_d = self._dispatch_pairs(starts, freqs, valid, cap)
+            words, counts, states = jax.device_get((w_d, c_d, s_d))
+        return words, counts, states
+
     def decompress(self, strings):
         import time
         from ..codecs.device_rans import unpack_stream
-        from ..geometry import warp_perspective
+        from ..entropy_models.codec import decompress_with_indexes
         start = time.time()
         base = self.base
         blob = strings[0] if isinstance(strings, (list, tuple)) \
@@ -633,26 +788,42 @@ class HESICPlusDeviceCodec:
         wo1, c1, st1, off = unpack_stream(blob, off)
         wo2, c2, st2, off = unpack_stream(blob, off)
 
-        z1_hat = base.eb_decompress("entropy_bottleneck1", z_strs[0],
-                                    (zh, zw))
-        pre1 = base.jit("hyper_synthesis1")(z1_hat)
-        y1_hat = wavefront_decode(
-            self.w1, pre1, jnp.asarray(wo1), jnp.asarray(c1),
-            jnp.asarray(st1), corr_mask=cm1, corr_val=cv1, mm=self.mm,
-            groups=self.groups)
-        x1_hat = base.jit("synthesis1")(y1_hat)
+        # words buffers re-padded to the SAME cap the encode-side chain
+        # compiled with, so decode reuses that executable (pathological
+        # payloads that overflowed the cap at encode force a wider
+        # recompile, mirroring the encoder's retry)
+        cap = self.cap
+        while cap < max(wo1.shape[1], wo2.shape[1]):
+            cap *= 2
 
-        z2_hat = base.eb_decompress("entropy_bottleneck2", z_strs[1],
-                                    (zh, zw))
-        pre2 = base.jit("hyper_synthesis2")(z2_hat)
-        y1_prior = base.jit("left_prior")(x1_hat, h_matrix)
-        y2_hat = wavefront_decode(
-            self.w2, pre2, jnp.asarray(wo2), jnp.asarray(c2),
-            jnp.asarray(st2), post=y1_prior, corr_mask=cm2, corr_val=cv2,
-            mm=self.mm, groups=self.groups)
-        size = (h_img, w_img)
-        x1_hat_warp = warp_perspective(x1_hat, h_matrix, size)
-        x2_hat = base.jit("synthesis2")(y2_hat, x1_hat_warp)
+        def pad(w):
+            out = np.zeros((w.shape[0], cap), np.int32)
+            out[:, :w.shape[1]] = w
+            return jnp.asarray(out)
+
+        # raw z symbols: the chain itself rebuilds z_hat = sym + median
+        z_syms = []
+        for name, strs in (("entropy_bottleneck1", z_strs[0]),
+                           ("entropy_bottleneck2", z_strs[1])):
+            c = base.eb_medians(name).shape[0]
+            idx = np.broadcast_to(np.arange(c, dtype=np.int32),
+                                  (b, zh, zw, c))
+            z_syms.append(jnp.asarray(
+                decompress_with_indexes(strs, idx, base.tables[name])))
+
+        yzero = jnp.zeros((b, hy, wy, m), jnp.float32)
+        zi = jnp.zeros(shp, jnp.int32)
+        (_s1, _f1, _s2, _f2, y1_hat, y2_hat, x1_hat, _r1, _r2,
+         _n1, _n2) = self._chain()(
+            base.params, z_syms[0], z_syms[1], yzero, yzero,
+            pad(wo1), jnp.asarray(c1.astype(np.int32)), jnp.asarray(st1),
+            pad(wo2), jnp.asarray(c2.astype(np.int32)), jnp.asarray(st2),
+            cm1 if cm1 is not None else zi,
+            cv1 if cv1 is not None else zi,
+            cm2 if cm2 is not None else zi,
+            cv2 if cv2 is not None else zi,
+            h_matrix, jnp.bool_(False))
+        x2_hat = self._dec_out()(base.params, y2_hat, x1_hat, h_matrix)
         return {"x1_hat": x1_hat, "x2_hat": x2_hat,
                 "y1_hat": y1_hat, "y2_hat": y2_hat,
                 "dectime": time.time() - start}

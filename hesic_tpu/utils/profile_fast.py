@@ -34,6 +34,7 @@ def _time(fn, *args, n=6, warmup=2):
 
 def main(argv=None):
     p = argparse.ArgumentParser()
+    p.add_argument("--arch", choices=("hesic", "dsic"), default="hesic")
     p.add_argument("--size", type=int, default=512)
     p.add_argument("--batch", type=int, default=16)
     p.add_argument("--mm", type=int, default=16)
@@ -54,25 +55,33 @@ def main(argv=None):
     except Exception:
         pass
 
-    from ..models import HESIC, HESICFastCodec
+    from ..models import DSIC, DSICFastCodec, HESIC, HESICFastCodec
     from ..models.hesic_fast import _gmm_freq_fast, auto_ppl, pick_mm
 
     b, hw = args.batch, args.size
     cb = args.codec_batch or b
-    module = HESIC(N=128, M=192, K=5,
-                   dtype=jnp.bfloat16 if args.bf16 else None)
+    dtype = jnp.bfloat16 if args.bf16 else None
+    if args.arch == "dsic":
+        module = DSIC(N=128, M=192, F=21, C=32, K=5, dtype=dtype)
+        codec_cls = DSICFastCodec
+    else:
+        module = HESIC(N=128, M=192, K=5, dtype=dtype)
+        codec_cls = HESICFastCodec
     rng = np.random.RandomState(0)
     if args.calib_steps > 0:
         import sys
         sys.path.insert(0, os.getcwd())
         from bench import _calibrate
-        params = _calibrate(module, rng, args.calib_steps)
-        codec = HESICFastCodec(module, params, mm=args.mm, codec_batch=cb)
+        params = _calibrate(module, rng, args.calib_steps,
+                            arch=args.arch)
+        codec = codec_cls(module, params, mm=args.mm, codec_batch=cb)
     else:
-        codec = HESICFastCodec.init(
-            module, [(1, hw, hw, 3), (1, hw, hw, 3), (1, 3, 3)])
-        codec = HESICFastCodec(codec.module, codec.params, mm=args.mm,
-                               codec_batch=cb)
+        shapes = [(1, hw, hw, 3), (1, hw, hw, 3)]
+        if args.arch != "dsic":
+            shapes.append((1, 3, 3))   # DSIC's forward takes (x1, x2)
+        codec = codec_cls.init(module, shapes)
+        codec = codec_cls(codec.module, codec.params, mm=args.mm,
+                          codec_batch=cb)
     codec.update()
 
     def smooth(shape):
@@ -119,55 +128,59 @@ def main(argv=None):
     t, _ = _time(codec._fn("synth_out"), codec.params, x1_hat, y2_hat, h)
     report["synth_out"] = t
 
-    # ---- cond2 internals at the canonical batch ----
-    b0 = cb
-    y1c, z2c, hc = y1_hat[:b0], z2_sym[:b0], h[:b0]
+    # ---- cond internals at the canonical batch (HESIC layout only:
+    # DSIC's analysis1/synthesis1 return tap tuples and its gmm2
+    # conditions on the un-warped left latent) ----
+    if args.arch == "hesic":
+        b0 = cb
+        y1c, z2c, hc = y1_hat[:b0], z2_sym[:b0], h[:b0]
 
-    def apply(method, *a):
-        return codec.module.apply({"params": codec.params}, *a,
-                                  method=method)
+        def apply(method, *a):
+            return codec.module.apply({"params": codec.params}, *a,
+                                      method=method)
 
-    syn1 = jax.jit(lambda y: apply("synthesis1", y.astype(jnp.float32)))
-    t, x1c = _time(syn1, y1c)
-    report["  cond2/synthesis1"] = t
+        syn1 = jax.jit(lambda y: apply("synthesis1",
+                                       y.astype(jnp.float32)))
+        t, x1c = _time(syn1, y1c)
+        report["  cond2/synthesis1"] = t
 
-    from ..geometry import warp_perspective_mxu
+        from ..geometry import warp_perspective_mxu
 
-    def reenc_fn(x, hh):
-        size = (x.shape[1], x.shape[2])
-        xw, _ = warp_perspective_mxu(x, hh, size)
-        return jnp.round(apply("analysis1", xw))
+        def reenc_fn(x, hh):
+            size = (x.shape[1], x.shape[2])
+            xw, _ = warp_perspective_mxu(x, hh, size)
+            return jnp.round(apply("analysis1", xw))
 
-    reenc = jax.jit(reenc_fn)
-    t, y1p = _time(reenc, x1c, hc)
-    report["  cond2/warp+analysis1"] = t
+        reenc = jax.jit(reenc_fn)
+        t, y1p = _time(reenc, x1c, hc)
+        report["  cond2/warp+analysis1"] = t
 
-    def gmm2_fn(z, yp):
-        med2 = codec.params["entropy_bottleneck2"]["quantiles"][:, 0, 1]
-        z2_hat = z.astype(jnp.float32) + med2
-        return apply("gmm2", z2_hat, yp)
+        def gmm2_fn(z, yp):
+            med2 = codec.params["entropy_bottleneck2"]["quantiles"][:, 0, 1]
+            z2_hat = z.astype(jnp.float32) + med2
+            return apply("gmm2", z2_hat, yp)
 
-    gmm2 = jax.jit(gmm2_fn)
-    t, g2 = _time(gmm2, z2c, y1p)
-    report["  cond2/gmm2_heads"] = t
+        gmm2 = jax.jit(gmm2_fn)
+        t, g2 = _time(gmm2, z2c, y1p)
+        report["  cond2/gmm2_heads"] = t
 
-    freq_fn = jax.jit(lambda s, m, w, c: _gmm_freq_fast(
-        s, m, w, mm2, codec.module.K, center=c)[0])
-    t, _ = _time(freq_fn, g2[0], g2[1], g2[2], cen2[:b0])
-    report["  cond2/gmm_freq(pmf+quant)"] = t
+        freq_fn = jax.jit(lambda s, m, w, c: _gmm_freq_fast(
+            s, m, w, mm2, codec.module.K, center=c)[0])
+        t, _ = _time(freq_fn, g2[0], g2[1], g2[2], cen2[:b0])
+        report["  cond2/gmm_freq(pmf+quant)"] = t
 
-    # cond1 internals
-    def gmm1_fn(z):
-        med1 = codec.params["entropy_bottleneck1"]["quantiles"][:, 0, 1]
-        return apply("gmm1", z.astype(jnp.float32) + med1)
+        # cond1 internals
+        def gmm1_fn(z):
+            med1 = codec.params["entropy_bottleneck1"]["quantiles"][:, 0, 1]
+            return apply("gmm1", z.astype(jnp.float32) + med1)
 
-    gmm1 = jax.jit(gmm1_fn)
-    t, g1 = _time(gmm1, z1_sym[:b0])
-    report["  cond1/gmm1_heads"] = t
-    freq_fn1 = jax.jit(lambda s, m, w, c: _gmm_freq_fast(
-        s, m, w, mm1, codec.module.K, center=c)[0])
-    t, _ = _time(freq_fn1, g1[0], g1[1], g1[2], cen1[:b0])
-    report["  cond1/gmm_freq(pmf+quant)"] = t
+        gmm1 = jax.jit(gmm1_fn)
+        t, g1 = _time(gmm1, z1_sym[:b0])
+        report["  cond1/gmm1_heads"] = t
+        freq_fn1 = jax.jit(lambda s, m, w, c: _gmm_freq_fast(
+            s, m, w, mm1, codec.module.K, center=c)[0])
+        t, _ = _time(freq_fn1, g1[0], g1[1], g1[2], cen1[:b0])
+        report["  cond1/gmm_freq(pmf+quant)"] = t
 
     total = sum(v for k, v in report.items() if not k.startswith("  "))
 
@@ -187,7 +200,8 @@ def main(argv=None):
     t_dec = (time.time() - t0) / 4
     report["decompress_fast e2e"] = t_dec
 
-    print(f"\nHESIC fast codec profile  size={hw} batch={b} mm={args.mm} "
+    print(f"\n{args.arch.upper()} fast codec profile  "
+          f"size={hw} batch={b} mm={args.mm} "
           f"(mm1={mm1} mm2={mm2}) ppl={ppl} bf16={bool(args.bf16)} "
           f"bpp_real={out['bpp_real']:.4f}")
     for k, v in report.items():
