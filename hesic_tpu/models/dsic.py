@@ -188,8 +188,11 @@ def _upsample_bilinear_align_corners(d, scale: int):
     """(B, C, h, w, F0) -> (B, C, h*s, w*s, F0), torch UpsamplingBilinear2d
     semantics (align_corners=True)."""
     _, _, hy, wy, _ = d.shape
-    mh = _interp_matrix(hy, hy * scale)
-    mw = _interp_matrix(wy, wy * scale)
+    # match the input dtype: in bf16 the upsampled volume at scale 8 is
+    # ~0.5 GB per batch-16 call — emitting it in f32 (then casting at
+    # the next conv anyway) doubles the HBM traffic of this stage
+    mh = _interp_matrix(hy, hy * scale).astype(d.dtype)
+    mw = _interp_matrix(wy, wy * scale).astype(d.dtype)
     d = jnp.einsum("Oh,bchwf->bcOwf", mh, d,
                    precision=jax.lax.Precision.HIGHEST)
     return jnp.einsum("Pw,bchwf->bchPf", mw, d,
@@ -207,10 +210,16 @@ def dense_warp(h1, cost):
     h1 = jax.lax.stop_gradient(h1)
     w_dim = h1.shape[2]
     c = cost.shape[-1]
+    # right-pad with zeros so every shift is a full-size static slice:
+    # the out-of-range positions contribute exact 0.0 in the same
+    # accumulation order as the masked in-place version (bitwise equal),
+    # but XLA fuses the C terms into ONE kernel instead of C
+    # dynamic-update-slice programs rewriting `out` per shift
+    h1p = jnp.pad(h1, ((0, 0), (0, 0), (0, c - 1), (0, 0)))
     out = jnp.zeros_like(h1)
     for d in range(c):
-        term = cost[:, :, : w_dim - d, d:d + 1] * h1[:, :, d:, :]
-        out = out.at[:, :, : w_dim - d, :].add(term)
+        out = out + cost[:, :, :, d:d + 1] \
+            * jax.lax.slice_in_dim(h1p, d, d + w_dim, axis=2)
     return out
 
 

@@ -103,6 +103,33 @@ class TestHESICPlusDevice:
         assert rec["x2_hat"].shape == x2.shape
         assert 0 < out["bpp_real"] < 64
 
+    def test_escape_corrections_roundtrip(self):
+        # mm=1 forces out-of-grid residuals on BOTH eyes through the
+        # exact side-channels of the fused chain (which must feed each
+        # wavefront recursion mid-scan, and eye-2's left prior depends
+        # on eye-1 decoding with its corrections applied)
+        from hesic_tpu.models import (HESICPlus, HESICPlusCodec,
+                                      HESICPlusDeviceCodec)
+        rng = np.random.RandomState(11)
+        x1 = jnp.asarray(rng.rand(1, 64, 64, 3) * 4 - 1.5, jnp.float32)
+        x2 = jnp.asarray(rng.rand(1, 64, 64, 3) * 4 - 1.5, jnp.float32)
+        h = jnp.eye(3, dtype=jnp.float32)[None]
+        module = HESICPlus(N=16, M=24)
+        base = HESICPlusCodec.init(module, [x1.shape, x2.shape, h.shape],
+                                   seed=13)
+        base.update()
+        codec = HESICPlusDeviceCodec(base, mm=1, groups=4)
+        out = codec.compress(x1, x2, h)
+        blob = out["strings"][0]
+        # escapes of eye 1 start right after the 1 B tag + 5 u32 header
+        (n_esc1,) = np.frombuffer(blob, np.uint32, 1, 21)
+        assert n_esc1 > 0, "test setup: no eye-1 escapes triggered"
+        rec = codec.decompress(out["strings"])
+        np.testing.assert_array_equal(np.asarray(rec["y1_hat"]),
+                                      np.asarray(out["y1_hat"]))
+        np.testing.assert_array_equal(np.asarray(rec["y2_hat"]),
+                                      np.asarray(out["y2_hat"]))
+
 
 class TestNonSquare:
     def test_wavefront_non_square(self):
