@@ -17,8 +17,11 @@ TPU-first notes:
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import linen as nn
 
 from ..entropy_models import EntropyBottleneck, GaussianMixtureConditional
@@ -27,27 +30,102 @@ from .hesic import Enhancement, GmmHyperY1, GmmHyperY2, HyperEncoder
 
 
 class Conv3D(nn.Module):
-    """3-D convolution, NDHWC, torch-style symmetric padding."""
+    """3-D convolution, NDHWC, torch-style symmetric padding.
+
+    Two apply layouts over the SAME (kd, kh, kw, I, O) parameters:
+      * rank-5 input (B, D, H, W, I): plain NDHWC lax conv.
+      * rank-4 input (B, H, W, D*I) with ``folds=D`` (disparity folded
+        into channels, disparity-major): a 2-D conv whose weight is the
+        block-banded expansion of the 3-D kernel over the disparity
+        axis.  DSIC's cost volumes have I=O=F0=7 — in NDHWC every
+        tensor of the 3-D branch carries a 7-wide minor dim that XLA
+        pads to 128 lanes (~18x wasted HBM traffic and MXU columns);
+        folded, the branch runs at D*I=224 full lanes.  The band adds
+        exact zeros, so outputs match NDHWC up to summation order.
+    """
 
     features: int
     kernel_size: int = 5
     dtype: object = None
+    folds: int = 1
 
     @nn.compact
     def __call__(self, x):
         k = self.kernel_size
         p = k // 2
-        kernel = self.param(
-            "kernel", kaiming_normal,
-            (k, k, k, x.shape[-1], self.features), jnp.float32)
-        bias = self.param("bias", nn.initializers.zeros, (self.features,),
-                          jnp.float32)
         d = self.dtype or x.dtype
+        if x.ndim == 5:
+            kernel = self.param(
+                "kernel", kaiming_normal,
+                (k, k, k, x.shape[-1], self.features), jnp.float32)
+            bias = self.param("bias", nn.initializers.zeros,
+                              (self.features,), jnp.float32)
+            out = jax.lax.conv_general_dilated(
+                x.astype(d), kernel.astype(d), window_strides=(1, 1, 1),
+                padding=((p, p), (p, p), (p, p)),
+                dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
+            return out + bias.astype(d)
+
+        dd = self.folds
+        ci = x.shape[-1] // dd
+        kernel = self.param("kernel", kaiming_normal,
+                            (k, k, k, ci, self.features), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros,
+                          (self.features,), jnp.float32)
+        # sel[t, d_in, d_out] = 1 iff d_in == d_out + t - p (edges get
+        # zero-padding via the missing band entries, same as the NDHWC
+        # conv's depth padding)
+        sel = np.zeros((k, dd, dd), np.float32)
+        for t in range(k):
+            lo, hi = max(0, p - t), min(dd, dd + p - t)
+            idx = np.arange(lo, hi)
+            sel[t, idx + t - p, idx] = 1.0
+        k2d = jnp.einsum("tnm,thwio->hwnimo", jnp.asarray(sel), kernel)
+        k2d = k2d.reshape(k, k, dd * ci, dd * self.features)
         out = jax.lax.conv_general_dilated(
-            x.astype(d), kernel.astype(d), window_strides=(1, 1, 1),
-            padding=((p, p), (p, p), (p, p)),
-            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
-        return out + bias.astype(d)
+            x.astype(d), k2d.astype(d), window_strides=(1, 1),
+            padding=((p, p), (p, p)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        return out + jnp.tile(bias, dd).astype(d)
+
+
+class GroupNorm(nn.Module):
+    """``nn.GroupNorm(num_groups=1)`` that also accepts the
+    disparity-folded layout (B, H, W, D*F) given ``folds=D``.
+
+    Parameters stay (F,) under the same auto-name (flax keys the
+    auto-naming cursor by class __name__, so this interleaves with
+    nn.GroupNorm in checkpoints transparently), and the statistics are
+    over the same element set either way — only the summation order
+    differs.  Mirrors flax's numerics: f32 fast-variance stats,
+    ``(x - mean) * (rsqrt(var + eps) * scale) + bias``, cast to dtype
+    at the end.
+    """
+
+    num_groups: int = 1
+    epsilon: float = 1e-5
+    dtype: object = None
+    folds: int = 1
+
+    @nn.compact
+    def __call__(self, x):
+        assert self.num_groups == 1
+        f = x.shape[-1] // self.folds
+        scale = self.param("scale", nn.initializers.ones, (f,),
+                           jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (f,),
+                          jnp.float32)
+        x32 = x.astype(jnp.float32)
+        red = tuple(range(1, x.ndim))
+        mean = jnp.mean(x32, red, keepdims=True)
+        var = jnp.maximum(
+            jnp.mean(x32 * x32, red, keepdims=True) - mean * mean, 0.0)
+        if self.folds > 1:
+            scale = jnp.tile(scale, self.folds)
+            bias = jnp.tile(bias, self.folds)
+        mul = jax.lax.rsqrt(var + self.epsilon) * scale
+        y = (x32 - mean) * mul + bias
+        return y.astype(self.dtype or x.dtype)
 
 
 class Encoder1WithTaps(nn.Module):
@@ -146,18 +224,38 @@ class CostVolume(nn.Module):
 
         # 3-D branch on the upsampled context volume (B, C, hy, wy, F0);
         # align_corners=True bilinear matches the reference
-        # nn.UpsamplingBilinear2d (mynet6.py:207)
+        # nn.UpsamplingBilinear2d (mynet6.py:207).  On the bf16 fast
+        # path the disparity axis folds into channels for the whole
+        # branch (see Conv3D): NDHWC keeps a 7-wide minor dim that XLA
+        # pads to 128 lanes, ~18x the HBM traffic.
         b, c, hy, wy, f0 = d.shape
-        d_up = _upsample_bilinear_align_corners(d, self.scale)
-        d3 = Conv3D(f0, dtype=dt)(d_up)
-        d3 = nn.GroupNorm(num_groups=1, epsilon=1e-5, dtype=dt)(d3)
-        d3 = nn.relu(d3)
-        d3 = Conv3D(f0, dtype=dt)(d3)
-        d3 = nn.GroupNorm(num_groups=1, epsilon=1e-5, dtype=dt)(d3)
-        d3 = nn.relu(d3)
-        # (B, C, H, W, F0) -> (B, H, W, F0*C) with channel layout f*C + c
-        d2 = d3.transpose(0, 2, 3, 4, 1).reshape(
-            b, hy * self.scale, wy * self.scale, f0 * c)
+        hh, ww = hy * self.scale, wy * self.scale
+        fold = (dt == jnp.bfloat16
+                and os.environ.get("HESIC_NO_FOLD3D", "") != "1")
+        if fold:
+            df = d.transpose(0, 2, 3, 1, 4).reshape(b, hy, wy, c * f0)
+            d_up = _upsample_bilinear_ac_2d(df, self.scale)
+            d3 = Conv3D(f0, dtype=dt, folds=c)(d_up)
+            d3 = GroupNorm(num_groups=1, epsilon=1e-5, dtype=dt,
+                           folds=c)(d3)
+            d3 = nn.relu(d3)
+            d3 = Conv3D(f0, dtype=dt, folds=c)(d3)
+            d3 = GroupNorm(num_groups=1, epsilon=1e-5, dtype=dt,
+                           folds=c)(d3)
+            d3 = nn.relu(d3)
+            # disparity-major (c*F0 + f) -> reference layout (f*C + c)
+            d2 = d3.reshape(b, hh, ww, c, f0).transpose(
+                0, 1, 2, 4, 3).reshape(b, hh, ww, f0 * c)
+        else:
+            d_up = _upsample_bilinear_align_corners(d, self.scale)
+            d3 = Conv3D(f0, dtype=dt)(d_up)
+            d3 = nn.GroupNorm(num_groups=1, epsilon=1e-5, dtype=dt)(d3)
+            d3 = nn.relu(d3)
+            d3 = Conv3D(f0, dtype=dt)(d3)
+            d3 = nn.GroupNorm(num_groups=1, epsilon=1e-5, dtype=dt)(d3)
+            d3 = nn.relu(d3)
+            # (B, C, H, W, F0) -> (B, H, W, F0*C), channel layout f*C + c
+            d2 = d3.transpose(0, 2, 3, 4, 1).reshape(b, hh, ww, f0 * c)
 
         x = jnp.concatenate([h, d2.astype(h.dtype)], axis=-1)
         x = Conv(self.N, stride=1, dtype=dt)(x)
@@ -196,6 +294,18 @@ def _upsample_bilinear_align_corners(d, scale: int):
     d = jnp.einsum("Oh,bchwf->bcOwf", mh, d,
                    precision=jax.lax.Precision.HIGHEST)
     return jnp.einsum("Pw,bchwf->bchPf", mw, d,
+                      precision=jax.lax.Precision.HIGHEST)
+
+
+def _upsample_bilinear_ac_2d(x, scale: int):
+    """(B, h, w, C) -> (B, h*s, w*s, C), align_corners=True bilinear —
+    the disparity-folded twin of _upsample_bilinear_align_corners."""
+    _, hy, wy, _ = x.shape
+    mh = _interp_matrix(hy, hy * scale).astype(x.dtype)
+    mw = _interp_matrix(wy, wy * scale).astype(x.dtype)
+    x = jnp.einsum("Oh,bhwc->bOwc", mh, x,
+                   precision=jax.lax.Precision.HIGHEST)
+    return jnp.einsum("Pw,bhwc->bhPc", mw, x,
                       precision=jax.lax.Precision.HIGHEST)
 
 

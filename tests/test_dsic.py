@@ -63,6 +63,36 @@ class TestDSICForward:
         assert out["x1_hat"].shape == x1.shape
         assert out["x2_hat"].shape == x2.shape
 
+    def test_folded_3d_branch_matches_unfolded(self, monkeypatch):
+        """The bf16 disparity-folded cost-volume branch (banded Conv3D +
+        folded GroupNorm, dsic.py) must agree with the reference NDHWC
+        layout, sharing one param tree."""
+        x1, x2 = _pair()
+        m32 = DSIC(N=8, M=12, F=6, C=8, K=2)
+        mbf = DSIC(N=8, M=12, F=6, C=8, K=2, dtype=jnp.bfloat16)
+        params = m32.init(RNGS, x1, x2)["params"]
+        # same tree under both dtypes (folded path declares the same
+        # Conv3D/GroupNorm parameters)
+        tree_bf = jax.tree_util.tree_structure(
+            mbf.init(RNGS, x1, x2)["params"])
+        assert tree_bf == jax.tree_util.tree_structure(params)
+
+        f32 = np.asarray(m32.apply({"params": params}, x1, x2)["x2_hat"],
+                         np.float32)
+        monkeypatch.setenv("HESIC_NO_FOLD3D", "1")
+        ref = mbf.apply({"params": params}, x1, x2)
+        monkeypatch.delenv("HESIC_NO_FOLD3D")
+        out = mbf.apply({"params": params}, x1, x2)
+        # identical element sets, reordered summation: the only error
+        # source is bf16 rounding (amplified through the disparity
+        # softmax), so the folded path must sit within the unfolded
+        # bf16 path's own deviation from the f32 reference
+        a = np.asarray(out["x2_hat"], np.float32)
+        b = np.asarray(ref["x2_hat"], np.float32)
+        err_fold = np.mean(np.abs(a - f32))
+        err_nofold = np.mean(np.abs(b - f32))
+        assert err_fold < 2.0 * err_nofold + 1e-4, (err_fold, err_nofold)
+
 
 class TestDSICContainer:
     def test_roundtrip(self, tmp_path):
