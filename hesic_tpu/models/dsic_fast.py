@@ -128,6 +128,11 @@ class DSICFastCodec(DSICCodec, HESICFastCodec):
             self._fns[key] = (cond1, cond2)
         return self._fns[key]
 
+    def _synth_aux_sd(self, b: int, h_img: int, w_img: int):
+        """DSIC's synth_out aux is the float left latent (not an image)."""
+        return jax.ShapeDtypeStruct(
+            (b, h_img // 16, w_img // 16, self.module.M), jnp.float32)
+
     def compress_fast(self, x1, x2, h_matrix=None,
                       batch_container: bool = False):
         if h_matrix is None:

@@ -701,6 +701,12 @@ class HESICFastCodec(HESICCodec):
 
     # ---- cost accounting ----
 
+    def _synth_aux_sd(self, b: int, h_img: int, w_img: int):
+        """Abstract shape of synth_out's `aux` input (HESIC: the decoded
+        left image; subclasses override — DSIC passes the left latent)."""
+        import jax
+        return jax.ShapeDtypeStruct((b, h_img, w_img, 3), jnp.float32)
+
     def device_flops(self, h_img: int, w_img: int, cap: int = 32) -> dict:
         """XLA cost-analysis FLOPs for one enc+dec roundtrip.
 
@@ -722,6 +728,9 @@ class HESICFastCodec(HESICCodec):
         s_dim = 2 * mm + 1
         hy, wy = h_img // 16, w_img // 16
         hw = hy * wy
+        ppl = auto_ppl(hw, self.ppl)
+        ls = hw // ppl
+        cap = cap if ppl == 1 else (self._enc_cap(ppl, m) or cap)
         zc = self.params["entropy_bottleneck1"]["quantiles"].shape[0]
         f32 = jnp.float32
         i32 = jnp.int32
@@ -734,30 +743,32 @@ class HESICFastCodec(HESICCodec):
         z = sd((b, hy // 4, wy // 4, zc), i32)
         y = sd((b, hy, wy, m), i32)
         freq = sd((b, m, s_dim, hw), i32)
-        words = sd((b, cap, hw), i32)
-        counts = sd((b, hw), i32)
-        states = sd((b, hw), jnp.uint32)
+        words = sd((b, cap, ls), i32)
+        counts = sd((b, ls), i32)
+        states = sd((b, ls), jnp.uint32)
         center = sd((b, m), i32)
+        dead = sd((b, m), jnp.bool_)
+        aux = self._synth_aux_sd(b, h_img, w_img)
 
+        cond1, cond2 = self._cond_fns(mm)
+        enc, dec = self._stream_fns(ppl, cap, mm)
         progs = {
-            "transforms_enc": ((self.params, x, x, hm), {}),
-            "cond1": ((self.params, z), {}),
-            "cond2": ((self.params, y, z, hm), {}),
-            "encode_stream": ((freq, y, center), {}),
-            "decode_stream": ((freq, words, counts, states, center,
-                              (hy, wy)), {}),
-            "synth_out": ((self.params, x, y, hm), {}),
+            "transforms_enc": (self._fn("transforms_enc"),
+                               (self.params, x, x, hm), {}),
+            "cond1": (cond1, (self.params, z, center), {}),
+            "cond2": (cond2, (self.params, y, z, hm, center), {}),
+            "encode_stream": (enc, (freq, y, center), {}),
+            "decode_stream": (dec, (freq, words, counts, states, center,
+                                    (hy, wy), dead), {}),
+            "synth_out": (self._fn("synth_out"),
+                          (self.params, aux, y, hm), {}),
         }
         per = {}
-        for name, (args, kw) in progs.items():
-            try:
-                cost = (self._fn(name).lower(*args, **kw)
-                        .compile().cost_analysis())
-                if isinstance(cost, (list, tuple)):
-                    cost = cost[0]
-                per[name] = float(cost.get("flops", 0.0))
-            except Exception:
-                per[name] = 0.0
+        for name, (fn, args, kw) in progs.items():
+            cost = fn.lower(*args, **kw).compile().cost_analysis()
+            if isinstance(cost, (list, tuple)):
+                cost = cost[0]
+            per[name] = float(cost.get("flops", 0.0))
         # encode runs streams twice (both eyes); decode likewise
         total = (per["transforms_enc"] + per["cond1"] * 2
                  + per["cond2"] * 2 + per["encode_stream"] * 2

@@ -140,6 +140,22 @@ class TestDSICFastCodec:
         np.testing.assert_array_equal(
             np.asarray(rec2["y2_hat"]), np.asarray(rec["y2_hat"]))
 
+    def test_device_flops_counts_every_program(self):
+        """MFU accounting (bench.py): every codec program must
+        contribute — a silent except once zeroed cond/stream FLOPs."""
+        from hesic_tpu.models import DSICFastCodec
+        model = DSIC(N=16, M=24, F=6, C=8, K=2)
+        codec = DSICFastCodec.init(
+            model, [(1, 64, 64, 3), (1, 64, 64, 3)])
+        codec = DSICFastCodec(codec.module, codec.params, mm=8,
+                              codec_batch=2)
+        codec.update()
+        fl = codec.device_flops(64, 64)
+        for name in ("transforms_enc", "cond1", "cond2",
+                     "encode_stream", "decode_stream", "synth_out"):
+            assert fl["per_program"][name] > 0, name
+        assert fl["flops_per_pair"] > fl["per_program"]["synth_out"] / 2
+
     def test_reference_container_still_works(self, tmp_path):
         import numpy as np
         from hesic_tpu.models import DSIC, DSICFastCodec
