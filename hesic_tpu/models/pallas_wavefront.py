@@ -341,7 +341,7 @@ def ar_wavefront_pallas(weights, pre, post, y_true, corr_mask, corr_val,
               ep_w[0], ep_b[0], ep_w[1], ep_b[1], ep_w[2], ep_b[2]):
         if id(t) in big_weights:
             # stays in HBM; DMA'd once into scratch at level 0
-            in_specs.append(pl.BlockSpec(memory_space=pltpu.ANY))
+            in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
         else:
             in_specs.append(pl.BlockSpec(
                 t.shape, const(*t.shape), memory_space=pltpu.VMEM))

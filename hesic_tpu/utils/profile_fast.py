@@ -144,7 +144,7 @@ def main(argv=None):
         t, x1c = _time(syn1, y1c)
         report["  cond2/synthesis1"] = t
 
-        from ..geometry import warp_perspective_mxu
+        from ..geometry.fast_warp import warp_perspective_mxu
 
         def reenc_fn(x, hh):
             size = (x.shape[1], x.shape[2])
