@@ -40,6 +40,40 @@ def _enable_compile_cache():
 _enable_compile_cache()
 
 
+def _wait_for_backend():
+    """Ride out transient TPU-tunnel outages before benching.
+
+    The axon backend intermittently fails init with UNAVAILABLE for
+    minutes at a time (observed round 3); once a process fails init the
+    failure can stick, so probe in SUBPROCESSES and only proceed in this
+    process after a probe succeeds.  Healthy path costs one ~15 s probe.
+    Bounded: BENCH_BACKEND_TRIES (default 6) x BENCH_BACKEND_WAIT_S
+    (default 120 s between probes)."""
+    import subprocess
+    import sys
+    tries = int(os.environ.get("BENCH_BACKEND_TRIES", "6"))
+    wait_s = float(os.environ.get("BENCH_BACKEND_WAIT_S", "120"))
+    for i in range(tries):
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c",
+                 "import jax; assert len(jax.devices()) > 0"],
+                capture_output=True, timeout=300)
+            if r.returncode == 0:
+                return
+            err = r.stderr.decode(errors="replace").strip().splitlines()
+            err = err[-1] if err else "unknown"
+        except subprocess.TimeoutExpired:
+            err = "probe timed out (300 s)"
+        if i + 1 == tries:
+            print(f"backend still unavailable after {tries} probes: "
+                  f"{err}", file=sys.stderr)
+            return  # let the real run produce the authoritative error
+        print(f"backend probe {i + 1}/{tries} failed ({err}); "
+              f"retrying in {wait_s:.0f} s", file=sys.stderr)
+        time.sleep(wait_s)
+
+
 def _smooth_pair(rng, hw):
     """Low-pass random field + a shifted copy as the second eye.
 
@@ -454,6 +488,7 @@ def main():
 
 
 if __name__ == "__main__":
+    _wait_for_backend()
     _mode = os.environ.get("BENCH_MODE", "")
     if _mode == "ar":
         bench_ar()
