@@ -140,6 +140,35 @@ class TestDSICFastCodec:
         np.testing.assert_array_equal(
             np.asarray(rec2["y2_hat"]), np.asarray(rec["y2_hat"]))
 
+    def test_escape_corrections_roundtrip(self):
+        """mm=1 forces out-of-grid residuals through the escape
+        side-channel on both eyes; decode must restore the TRUE latents
+        (mirrors the HESIC+ device-codec escape test)."""
+        from hesic_tpu.models import DSIC, DSICFastCodec
+        rng = np.random.RandomState(7)
+        hw, b = 64, 2
+        x1 = jnp.asarray(rng.rand(b, hw, hw, 3) * 4 - 1.5, jnp.float32)
+        x2 = jnp.asarray(rng.rand(b, hw, hw, 3) * 4 - 1.5, jnp.float32)
+        module = DSIC(N=16, M=24, F=6, C=4, K=2)
+        base = DSICFastCodec.init(module,
+                                  [(1, hw, hw, 3), (1, hw, hw, 3)])
+        codec = DSICFastCodec(base.module, base.params, mm=1,
+                              codec_batch=b)
+        codec.update()
+        out = codec.compress_fast(x1, x2, batch_container=True)
+        enc = codec._fn("transforms_enc")(
+            codec.params, x1, x2,
+            jnp.tile(jnp.eye(3, dtype=jnp.float32)[None], (b, 1, 1)))
+        y1, y2 = np.asarray(enc[0]), np.asarray(enc[1])
+        dc1 = np.asarray(enc[5])
+        rel1 = np.abs(y1 - dc1[:, None, None, :])
+        assert (rel1 > 1).any(), "test setup: no eye-1 escapes triggered"
+        rec = codec.decompress_fast_batch(out["blob"])
+        np.testing.assert_array_equal(
+            np.asarray(rec["y1_hat"]).astype(np.int64), y1)
+        np.testing.assert_array_equal(
+            np.asarray(rec["y2_hat"]).astype(np.int64), y2)
+
     def test_device_flops_counts_every_program(self):
         """MFU accounting (bench.py): every codec program must
         contribute — a silent except once zeroed cond/stream FLOPs."""
