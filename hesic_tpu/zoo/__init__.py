@@ -1,10 +1,12 @@
 """Model zoo: name -> (module, codec) constructors with quality configs.
 
 Reference: compressai/zoo/image.py (cfgs :105-155, loaders :157-341) plus
-the HESIC/DSIC research models.  Pretrained-weight download is stubbed —
-this environment has no egress; use
-``hesic_tpu.utils.convert_torch.convert_state_dict`` to import PyTorch
-checkpoints instead.
+the HESIC/DSIC research models.  ``pretrained=True`` resolves checkpoints
+from a local zoo cache ($HESIC_ZOO_DIR; torch ``.pth.tar`` files are
+converted through ``utils.convert_torch`` and cached) and can download
+from a populated ``model_urls`` table — the reference's URL entries embed
+content hashes (zoo/image.py:40-103) and this environment has no egress,
+so the table ships empty.
 """
 
 from __future__ import annotations
@@ -70,6 +72,62 @@ _WITH_HOMOGRAPHY = {"hesic", "hesic-together", "hesic-plus",
 
 models = model_architectures  # reference-compatible alias
 
+# (name, quality, metric) -> checkpoint URL.  The reference's table
+# (compressai/zoo/image.py:40-103) embeds content hashes in the file
+# names, so the entries are data, not derivable — populate this dict
+# (or drop checkpoint files into the zoo cache, see `zoo_cache_dir`)
+# to enable `pretrained=True`.
+model_urls: dict = {}
+
+
+def zoo_cache_dir() -> str:
+    """Local pretrained-checkpoint cache (override: $HESIC_ZOO_DIR) —
+    the torch.hub cache-dir analogue of the reference loaders."""
+    import os
+    return os.environ.get(
+        "HESIC_ZOO_DIR",
+        os.path.join(os.path.expanduser("~"), ".cache", "hesic_tpu",
+                     "zoo"))
+
+
+def _pretrained_state(name: str, quality: int, metric: str = "mse") -> dict:
+    """Resolve a pretrained checkpoint like the reference `_load_model`
+    (zoo/image.py:157-341), with the download step factored behind a
+    local cache: `{name}-q{quality}-{metric}.pkl` (converted format) is
+    loaded directly; a torch `.pth.tar` beside it is converted through
+    `utils.convert_torch` and cached; a populated `model_urls` entry is
+    fetched first when neither exists (requires network egress)."""
+    import os
+    import pickle
+    d = zoo_cache_dir()
+    stem = f"{name}-q{quality}-{metric}"
+    pkl = os.path.join(d, stem + ".pkl")
+    if os.path.exists(pkl):
+        with open(pkl, "rb") as f:
+            return pickle.load(f)
+    pth = os.path.join(d, stem + ".pth.tar")
+    if not os.path.exists(pth):
+        url = model_urls.get((name, quality, metric))
+        if url is None:
+            raise FileNotFoundError(
+                f"no pretrained checkpoint for {name} q{quality} "
+                f"({metric}): expected {pkl} or {pth}. Download the "
+                f"reference torch checkpoint to that path (URL table: "
+                f"reference compressai/zoo/image.py:40-103) or convert "
+                f"one via `python -m hesic_tpu.utils.convert_torch`.")
+        import urllib.request
+        os.makedirs(d, exist_ok=True)
+        urllib.request.urlretrieve(url, pth)
+    import torch
+
+    from ..utils.convert_torch import convert_state_dict
+    payload = torch.load(pth, map_location="cpu", weights_only=False)
+    state = {"params": convert_state_dict(payload, name)}
+    os.makedirs(d, exist_ok=True)
+    with open(pkl, "wb") as f:
+        pickle.dump(state, f)
+    return state
+
 
 def is_stereo(name: str) -> bool:
     return name in _STEREO
@@ -99,12 +157,15 @@ def create_model(name: str, quality: int = 1, seed: int = 0,
     if quality not in cfgs[name]:
         raise ValueError(f'Invalid quality "{quality}" for "{name}" '
                          f"(valid: {sorted(cfgs[name])})")
-    if pretrained:
-        raise NotImplementedError(
-            "pretrained-weight download requires network egress; convert a "
-            "PyTorch checkpoint with hesic_tpu.utils.convert_torch instead")
     module_cls, codec_cls = model_architectures[name]
     kwargs = dict(cfgs[name][quality])
+    if pretrained:
+        state = _pretrained_state(name, quality,
+                                  overrides.pop("metric", "mse"))
+        kwargs.update(state.get("config") or {})
+        kwargs.update(overrides)
+        module = module_cls(**kwargs)
+        return codec_cls(module, state["params"]).load_state_dict(state)
     if checkpoint is not None:
         import pickle
         with open(checkpoint, "rb") as f:

@@ -36,9 +36,56 @@ class TestZoo:
         with pytest.raises(ValueError):
             create_model("bmshj2018-factorized", quality=99)
 
-    def test_pretrained_stubbed(self):
-        with pytest.raises(NotImplementedError):
+    def test_pretrained_missing_is_actionable(self, tmp_path, monkeypatch):
+        """With no cached checkpoint and no URL, pretrained=True must
+        name the exact paths it looked for."""
+        monkeypatch.setenv("HESIC_ZOO_DIR", str(tmp_path))
+        with pytest.raises(FileNotFoundError, match="bmshj2018-factorized"):
             create_model("bmshj2018-factorized", pretrained=True)
+
+    def test_pretrained_loads_from_zoo_cache(self, tmp_path, monkeypatch):
+        """pretrained=True resolves converted checkpoints from
+        $HESIC_ZOO_DIR (the torch.hub cache analogue of the reference
+        loaders, zoo/image.py:157-341) and restores config + params."""
+        import pickle
+        seed_codec = create_model("bmshj2018-factorized", quality=1,
+                                  image_size=(64, 64), N=8, M=12)
+        state = seed_codec.state_dict()
+        path = tmp_path / "bmshj2018-factorized-q1-mse.pkl"
+        with open(path, "wb") as f:
+            pickle.dump(state, f)
+        monkeypatch.setenv("HESIC_ZOO_DIR", str(tmp_path))
+        codec = create_model("bmshj2018-factorized", quality=1,
+                             pretrained=True)
+        assert codec.module.N == 8 and codec.module.M == 12
+        import jax
+        la = jax.tree_util.tree_leaves(codec.params)
+        lb = jax.tree_util.tree_leaves(seed_codec.params)
+        assert len(la) == len(lb)
+        for a, b in zip(la, lb):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_pretrained_converts_torch_checkpoint(self, tmp_path,
+                                                  monkeypatch):
+        """A torch .pth.tar in the zoo cache is converted on the fly
+        (utils.convert_torch) and the .pkl conversion is cached."""
+        import os
+        import shutil
+        pytest.importorskip("torch")
+        src = os.path.join(os.path.dirname(__file__), "fixtures",
+                           "ref_hsic_tiny.pth.tar")
+        shutil.copy(src, tmp_path / "hesic-q1-mse.pth.tar")
+        monkeypatch.setenv("HESIC_ZOO_DIR", str(tmp_path))
+        codec = create_model("hesic", quality=1, pretrained=True,
+                             N=8, M=16, K=2)
+        assert codec.module.N == 8
+        assert (tmp_path / "hesic-q1-mse.pkl").exists()
+        codec2 = create_model("hesic", quality=1, pretrained=True,
+                              N=8, M=16, K=2)
+        import jax
+        for a, b in zip(jax.tree_util.tree_leaves(codec.params),
+                        jax.tree_util.tree_leaves(codec2.params)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
     def test_create_small(self):
         codec = create_model("bmshj2018-factorized", quality=1,
