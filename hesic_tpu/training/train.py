@@ -141,6 +141,12 @@ def main(argv=None):
     parser.add_argument("--log-every", type=int, default=10)
     parser.add_argument("--overrides", default=None,
                         help="architecture overrides, e.g. N=64,M=96")
+    parser.add_argument("--bf16", action="store_true",
+                        help="run the transform convs in bfloat16 (the "
+                             "TPU fast path; likelihood/entropy math is "
+                             "pinned to f32 and parameters stay f32). "
+                             "Supported by modules with a dtype field "
+                             "(the stereo families).")
     args = parser.parse_args(argv)
 
     overrides = {}
@@ -148,6 +154,15 @@ def main(argv=None):
         for kv in args.overrides.split(","):
             k, v = kv.split("=")
             overrides[k.strip()] = int(v)
+    if args.bf16:
+        import dataclasses
+
+        import jax.numpy as jnp
+        module_cls, _ = model_architectures[args.model]
+        if "dtype" not in {f.name for f in dataclasses.fields(module_cls)}:
+            parser.error(f"--bf16 is not supported by {args.model} "
+                         f"(module has no dtype field)")
+        overrides["dtype"] = jnp.bfloat16
 
     os.makedirs(args.checkpoint_dir, exist_ok=True)
     patch = (args.patch_size, args.patch_size)

@@ -65,6 +65,30 @@ class TestTrainCLI:
         state = train_cli.main(args)
         assert state is not None
 
+    def test_bf16_transforms(self, tmp_path):
+        """--bf16 trains with bfloat16 transform convs (f32 params and
+        entropy math) and rejects archs without a dtype field."""
+        data = _make_stereo_tree(tmp_path / "data")
+        ckpt = str(tmp_path / "ckpt_bf16")
+        state = train_cli.main([
+            "--model", "hesic", "--dataset", data, "--epochs", "1",
+            "--batch-size", "2", "--patch-size", "64",
+            "--overrides", "N=8,M=16,K=2", "--bf16",
+            "--checkpoint-dir", ckpt,
+            "--log-file", str(tmp_path / "log.txt"),
+        ])
+        import jax.numpy as jnp
+        assert int(state.step) >= 1
+        leaves = [x for x in
+                  __import__("jax").tree_util.tree_leaves(state.params)]
+        assert all(x.dtype == jnp.float32 for x in leaves
+                   if hasattr(x, "dtype"))
+        with pytest.raises(SystemExit):
+            train_cli.main([
+                "--model", "bmshj2018-factorized", "--dataset", data,
+                "--epochs", "1", "--bf16",
+            ])
+
     def test_stage2_freezes_codec(self, tmp_path):
         data = _make_stereo_tree(tmp_path / "data")
         ckpt = str(tmp_path / "ckpt2")
