@@ -25,8 +25,8 @@ import numpy as np
 from flax import linen as nn
 
 from ..entropy_models import EntropyBottleneck, GaussianMixtureConditional
-from ..layers import GDN, Conv, Deconv, kaiming_normal
-from .hesic import Enhancement, GmmHyperY1, GmmHyperY2, HyperEncoder
+from ..layers import GDN, Conv, Deconv, conv3x3, kaiming_normal
+from .hesic import EnhancementBlock, GmmHyperY1, GmmHyperY2, HyperEncoder
 
 
 class Conv3D(nn.Module):
@@ -474,14 +474,31 @@ class DSIC(nn.Module):
         }
 
 
+class EnhancementSelf(nn.Module):
+    """Single-view quality enhancement (Enhancement,
+    mynet6_plus.py:56-78): the DSIC+ variant drops the cross-view
+    concat — conv1 is 3->32 and forward takes ONE reconstruction."""
+
+    @nn.compact
+    def __call__(self, x):
+        out = conv3x3(32)(x)
+        out = EnhancementBlock()(out)
+        out = EnhancementBlock()(out)
+        out = EnhancementBlock()(out)
+        out = conv3x3(3)(out)
+        return out + x
+
+
 class IndependentEnhancementNoWarp(nn.Module):
-    """Stage-2 cross enhancement without homography
-    (Independent_EN, mynet6_plus.py:80-101)."""
+    """Stage-2 per-eye enhancement without homography or cross-view
+    input (Independent_EN, mynet6_plus.py:80-101 — each eye enhances
+    independently; the warp/concat lines are commented out in the
+    reference)."""
 
     @nn.compact
     def __call__(self, x1_hat, x2_hat):
-        x1_out = Enhancement()(x1_hat, x2_hat)
-        x2_out = Enhancement()(x2_hat, x1_hat)
+        x1_out = EnhancementSelf()(x1_hat)
+        x2_out = EnhancementSelf()(x2_hat)
         return {"x1_hat": x1_out, "x2_hat": x2_out}
 
 

@@ -455,6 +455,54 @@ def convert_homography_net(state: Dict, patch_size: int = 128) -> dict:
     return params
 
 
+def _enhancement(state: Dict, p: str, cross: bool) -> dict:
+    """Enhancement head (newnet1.py:288-311 cross-view 6->32, or the
+    DSIC+ single-view 3->32 variant mynet6_plus.py:56-78): conv1 +
+    3 EnhancementBlocks of 3 ResidualBlocks + conv2.  The flax twin
+    auto-names its children identically for both variants."""
+    out = {"Conv_0": convert_conv(state, f"{p}.conv1"),
+           "Conv_1": convert_conv(state, f"{p}.conv2")}
+    for i in range(3):
+        out[f"EnhancementBlock_{i}"] = {
+            f"ResidualBlock_{j}": _res_block(state, f"{p}.EB{i + 1}.RB{j + 1}")
+            for j in range(3)}
+    return out
+
+
+def _independent_en(state: Dict, p: str, cross: bool) -> dict:
+    """Independent_EN (newnet1.py:1278-1300 with homography warps;
+    mynet6_plus.py:80-101 warp-free single-view)."""
+    name = "Enhancement" if cross else "EnhancementSelf"
+    return {f"{name}_0": _enhancement(state, f"{p}.EH1", cross),
+            f"{name}_1": _enhancement(state, f"{p}.EH2", cross)}
+
+
+def _sub_state(state: Dict, prefix: str) -> Dict:
+    pre = prefix + "."
+    return {k[len(pre):]: v for k, v in state.items()
+            if k.startswith(pre)}
+
+
+def convert_hesic_together(state: Dict) -> dict:
+    """GMM_together (newnet1.py:1304-1321): m1 = HSIC,
+    m2 = Independent_EN."""
+    return {"m1": convert_hesic(_sub_state(state, "m1")),
+            "m2": _independent_en(state, "m2", cross=True)}
+
+
+def convert_hesic_plus_together(state: Dict) -> dict:
+    """GMM_together (newnet1_joint.py:1351-1369): m1 = HESIC+."""
+    return {"m1": convert_hesic_plus(_sub_state(state, "m1")),
+            "m2": _independent_en(state, "m2", cross=True)}
+
+
+def convert_dsic_plus(state: Dict) -> dict:
+    """DSIC_plus (mynet6_plus.py:1352-1370): m1 = DSIC, m2 = warp-free
+    single-view Independent_EN."""
+    return {"m1": convert_dsic(_sub_state(state, "m1")),
+            "m2": _independent_en(state, "m2", cross=False)}
+
+
 ARCH_CONVERTERS = {
     "bmshj2018-factorized": convert_factorized,
     "bmshj2018-hyperprior": convert_hyperprior,
@@ -463,8 +511,11 @@ ARCH_CONVERTERS = {
     "cheng2020-anchor": convert_cheng2020,
     "cheng2020-attn": convert_cheng2020_attn,
     "hesic": convert_hesic,
+    "hesic-together": convert_hesic_together,
     "hesic-plus": convert_hesic_plus,
+    "hesic-plus-together": convert_hesic_plus_together,
     "dsic": convert_dsic,
+    "dsic-plus": convert_dsic_plus,
     "homography-net": convert_homography_net,
 }
 

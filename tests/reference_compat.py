@@ -160,6 +160,8 @@ def load_reference():
         newnet1_joint=_load_file("ref_newnet1_joint",
                                  f"{REF}/ywz/mywork/newnet1_joint.py"),
         mynet6=_load_file("ref_mynet6", f"{REF}/ywz/DSIC/mynet6.py"),
+        mynet6_plus=_load_file("ref_mynet6_plus",
+                               f"{REF}/ywz/DSIC/mynet6_plus.py"),
         udh_model=_load_file("ref_udh_model", f"{REF}/udh/udh/model.py"),
     )
     return _cache

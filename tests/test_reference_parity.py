@@ -170,6 +170,51 @@ class TestDSICParity:
                 rtol=LIK_RTOL, atol=1e-6)
 
 
+class TestTogetherParity:
+    def test_hesic_together_forward(self):
+        """GMM_together (newnet1.py:1304-1321): codec + cross-view
+        enhancement end-to-end through the m1/m2 converter."""
+        _seed_all(7)
+        mods = load_reference()
+        ref = mods["newnet1"].GMM_together(N=16, M=24, K=2).eval()
+        params = convert_state_dict(ref.state_dict(), "hesic-together")
+        from hesic_tpu.models import HESICTogether
+        module = HESICTogether(N=16, M=24, K=2)
+        x1 = torch.rand(1, 3, 64, 64)
+        x2 = torch.rand(1, 3, 64, 64)
+        h = torch.eye(3)[None]
+        with torch.no_grad():
+            out_ref = ref(x1, x2, h)
+        out = module.apply({"params": params}, _nhwc(x1), _nhwc(x2),
+                           jnp.asarray(h.numpy()), training=False)
+        np.testing.assert_allclose(_to_nchw(out["x1_hat"]),
+                                   out_ref["x1_hat"].numpy(), atol=ATOL)
+        np.testing.assert_allclose(_to_nchw(out["x2_hat"]),
+                                   out_ref["x2_hat"].numpy(), atol=ATOL)
+
+    def test_dsic_plus_forward(self):
+        """DSIC_plus (mynet6_plus.py:1352-1370): the m2 enhancement is
+        the SINGLE-VIEW variant (Enhancement 3->32 with the cross-view
+        concat removed, mynet6_plus.py:56-78)."""
+        _seed_all(8)
+        mods = load_reference()
+        ref = mods["mynet6_plus"].DSIC_plus(
+            N=16, M=24, F=6, C=8, K=2).eval()
+        params = convert_state_dict(ref.state_dict(), "dsic-plus")
+        from hesic_tpu.models import DSICPlus
+        module = DSICPlus(N=16, M=24, F=6, C=8, K=2)
+        x1 = torch.rand(1, 3, 64, 64)
+        x2 = torch.rand(1, 3, 64, 64)
+        with torch.no_grad():
+            out_ref = ref(x1, x2)
+        out = module.apply({"params": params}, _nhwc(x1), _nhwc(x2),
+                           training=False)
+        np.testing.assert_allclose(_to_nchw(out["x1_hat"]),
+                                   out_ref["x1_hat"].numpy(), atol=ATOL)
+        np.testing.assert_allclose(_to_nchw(out["x2_hat"]),
+                                   out_ref["x2_hat"].numpy(), atol=5e-4)
+
+
 class TestHomographyNetParity:
     def test_net_delta(self):
         _seed_all(5)
