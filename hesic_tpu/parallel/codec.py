@@ -27,11 +27,11 @@ from .mesh import Mesh, batch_sharding
 
 def sharded_codec_roundtrip(mesh: Mesh, size: int = 64,
                             batch_per_device: int = 1,
-                            seed: int = 0) -> dict:
-    """Run one HESIC fast-codec encode+decode with the batch sharded over
-    the mesh's data axis; assert bit-exactness and equality with the
-    single-device run.  Returns summary stats."""
-    from ..models import HESIC, HESICFastCodec
+                            seed: int = 0, arch: str = "hesic") -> dict:
+    """Run one fast-codec encode+decode (`arch`: 'hesic' or 'dsic') with
+    the batch sharded over the mesh's data axis; assert bit-exactness
+    and equality with the single-device run.  Returns summary stats."""
+    from ..models import DSIC, DSICFastCodec, HESIC, HESICFastCodec
 
     dp = mesh.shape["data"]
     b = dp * batch_per_device
@@ -40,10 +40,18 @@ def sharded_codec_roundtrip(mesh: Mesh, size: int = 64,
     x2 = jnp.asarray(rng.rand(b, size, size, 3), jnp.float32)
     h = jnp.tile(jnp.eye(3, dtype=jnp.float32)[None], (b, 1, 1))
 
-    module = HESIC(N=8, M=16, K=2)
-    codec = HESICFastCodec.init(
-        module, [(1, size, size, 3), (1, size, size, 3), (1, 3, 3)])
-    codec = HESICFastCodec(codec.module, codec.params, mm=8, codec_batch=b)
+    if arch == "dsic":
+        module = DSIC(N=8, M=16, F=6, C=8, K=2)
+        codec = DSICFastCodec.init(
+            module, [(1, size, size, 3), (1, size, size, 3)])
+        codec = DSICFastCodec(codec.module, codec.params, mm=8,
+                              codec_batch=b)
+    else:
+        module = HESIC(N=8, M=16, K=2)
+        codec = HESICFastCodec.init(
+            module, [(1, size, size, 3), (1, size, size, 3), (1, 3, 3)])
+        codec = HESICFastCodec(codec.module, codec.params, mm=8,
+                               codec_batch=b)
     codec.update()
 
     # single-device baseline

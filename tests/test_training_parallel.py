@@ -191,3 +191,12 @@ class TestShardedCodec:
         stats = sharded_codec_roundtrip(mesh)
         assert stats["pairs"] == 8
         assert stats["blob_bytes"] > 0
+
+    def test_sharded_dsic_codec_roundtrip(self):
+        """The second stereo family codes batch-parallel too (shared
+        placement machinery, DSIC conditioning programs)."""
+        from hesic_tpu.parallel import sharded_codec_roundtrip
+        mesh = make_mesh((8, 1))
+        stats = sharded_codec_roundtrip(mesh, arch="dsic")
+        assert stats["pairs"] == 8
+        assert stats["blob_bytes"] > 0
