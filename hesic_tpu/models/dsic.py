@@ -66,6 +66,10 @@ class Conv3D(nn.Module):
                 dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
             return out + bias.astype(d)
 
+        assert self.folds > 1, (
+            "rank-4 Conv3D input requires folds=D (the disparity-folded "
+            "layout); a plain 2-D activation would silently use only the "
+            "central depth slice of the 3-D kernel")
         dd = self.folds
         ci = x.shape[-1] // dd
         kernel = self.param("kernel", kaiming_normal,

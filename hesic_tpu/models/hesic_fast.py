@@ -730,7 +730,7 @@ class HESICFastCodec(HESICCodec):
         hw = hy * wy
         ppl = auto_ppl(hw, self.ppl)
         ls = hw // ppl
-        cap = cap if ppl == 1 else (self._enc_cap(ppl, m) or cap)
+        cap = cap if ppl == 1 else self._enc_cap(ppl, m)
         zc = self.params["entropy_bottleneck1"]["quantiles"].shape[0]
         f32 = jnp.float32
         i32 = jnp.int32

@@ -459,7 +459,14 @@ def _enhancement(state: Dict, p: str, cross: bool) -> dict:
     """Enhancement head (newnet1.py:288-311 cross-view 6->32, or the
     DSIC+ single-view 3->32 variant mynet6_plus.py:56-78): conv1 +
     3 EnhancementBlocks of 3 ResidualBlocks + conv2.  The flax twin
-    auto-names its children identically for both variants."""
+    auto-names its children identically for both variants; `cross`
+    validates which variant the checkpoint actually holds."""
+    in_ch = state[f"{p}.conv1.weight"].shape[1]
+    want = 6 if cross else 3
+    if in_ch != want:
+        raise ValueError(
+            f"{p}.conv1 has {in_ch} input channels; expected {want} for "
+            f"the {'cross-view' if cross else 'single-view'} Enhancement")
     out = {"Conv_0": convert_conv(state, f"{p}.conv1"),
            "Conv_1": convert_conv(state, f"{p}.conv2")}
     for i in range(3):

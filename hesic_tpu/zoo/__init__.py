@@ -165,7 +165,13 @@ def create_model(name: str, quality: int = 1, seed: int = 0,
         kwargs.update(state.get("config") or {})
         kwargs.update(overrides)
         module = module_cls(**kwargs)
-        return codec_cls(module, state["params"]).load_state_dict(state)
+        codec = codec_cls(module, state["params"]).load_state_dict(state)
+        if not codec.tables:
+            # converted torch checkpoints carry no CDF tables; build them
+            # so the returned codec is ready to code, like the
+            # reference's pretrained loaders (zoo/image.py:157-341)
+            codec.update()
+        return codec
     if checkpoint is not None:
         import pickle
         with open(checkpoint, "rb") as f:

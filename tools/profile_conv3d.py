@@ -29,24 +29,18 @@ def conv3d_ndhwc(x, kernel):
 
 
 def conv3d_banded(x, kernel):
-    """Same op as a 2-D conv with disparity folded into channels."""
+    """Same op through the productized banded path: the Conv3D module
+    in models/dsic.py applied to the disparity-folded layout (one
+    band-builder implementation, not a copy)."""
+    from hesic_tpu.models.dsic import Conv3D
+
     b, dd, h, w, ci = x.shape
-    kd, kh, kw, _, co = kernel.shape
-    p = kd // 2
-    # sel[t, d_in, d_out] = 1 iff d_in == d_out + t - p  (zero-pad edges)
-    sel = np.zeros((kd, dd, dd), kernel.dtype)
-    for t in range(kd):
-        for do in range(dd):
-            di = do + t - p
-            if 0 <= di < dd:
-                sel[t, di, do] = 1.0
-    k2d = jnp.einsum("tnm,thwio->hwnimo", jnp.asarray(sel), kernel)
-    k2d = k2d.reshape(kh, kw, dd * ci, dd * co)
+    co = kernel.shape[-1]
+    mod = Conv3D(co, kernel_size=kernel.shape[0], folds=dd)
     x2d = x.transpose(0, 2, 3, 1, 4).reshape(b, h, w, dd * ci)
-    out = jax.lax.conv_general_dilated(
-        x2d, k2d, window_strides=(1, 1),
-        padding=((p, p), (p, p)),
-        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    params = {"kernel": kernel,
+              "bias": jnp.zeros((co,), kernel.dtype)}
+    out = mod.apply({"params": params}, x2d)
     return out.reshape(b, h, w, dd, co).transpose(0, 3, 1, 2, 4)
 
 
