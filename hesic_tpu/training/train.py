@@ -156,8 +156,6 @@ def main(argv=None):
             overrides[k.strip()] = int(v)
     if args.bf16:
         import dataclasses
-
-        import jax.numpy as jnp
         module_cls, _ = model_architectures[args.model]
         if "dtype" not in {f.name for f in dataclasses.fields(module_cls)}:
             parser.error(f"--bf16 is not supported by {args.model} "
