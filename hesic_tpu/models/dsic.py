@@ -72,24 +72,47 @@ class Conv3D(nn.Module):
             "central depth slice of the 3-D kernel")
         dd = self.folds
         ci = x.shape[-1] // dd
+        co = self.features
         kernel = self.param("kernel", kaiming_normal,
-                            (k, k, k, ci, self.features), jnp.float32)
-        bias = self.param("bias", nn.initializers.zeros,
-                          (self.features,), jnp.float32)
-        # sel[t, d_in, d_out] = 1 iff d_in == d_out + t - p (edges get
-        # zero-padding via the missing band entries, same as the NDHWC
-        # conv's depth padding)
-        sel = np.zeros((k, dd, dd), np.float32)
-        for t in range(k):
-            lo, hi = max(0, p - t), min(dd, dd + p - t)
-            idx = np.arange(lo, hi)
-            sel[t, idx + t - p, idx] = 1.0
-        k2d = jnp.einsum("tnm,thwio->hwnimo", jnp.asarray(sel), kernel)
-        k2d = k2d.reshape(k, k, dd * ci, dd * self.features)
-        out = jax.lax.conv_general_dilated(
-            x.astype(d), k2d.astype(d), window_strides=(1, 1),
-            padding=((p, p), (p, p)),
-            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+                            (k, k, k, ci, co), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (co,),
+                          jnp.float32)
+
+        def band_conv(d_lo_in, d_hi_in, d_lo_out, d_hi_out):
+            """2-D conv of input disparity rows [d_lo_in, d_hi_in) onto
+            output rows [d_lo_out, d_hi_out) through the band expansion:
+            sel[t, d_in, d_out] = 1 iff d_in == d_out + t - p (edges get
+            zero padding via the missing band entries, same as the NDHWC
+            conv's depth padding)."""
+            n_in, n_out = d_hi_in - d_lo_in, d_hi_out - d_lo_out
+            sel = np.zeros((k, n_in, n_out), np.float32)
+            for t in range(k):
+                for m, do in enumerate(range(d_lo_out, d_hi_out)):
+                    di = do + t - p
+                    if d_lo_in <= di < d_hi_in:
+                        sel[t, di - d_lo_in, m] = 1.0
+            k2d = jnp.einsum("tnm,thwio->hwnimo", jnp.asarray(sel),
+                             kernel)
+            k2d = k2d.reshape(k, k, n_in * ci, n_out * co)
+            xs = x[..., d_lo_in * ci:d_hi_in * ci]
+            return jax.lax.conv_general_dilated(
+                xs.astype(d), k2d.astype(d), window_strides=(1, 1),
+                padding=((p, p), (p, p)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+        # output-chunking over disparity trims the band's zero FLOPs
+        # (each output chunk only reads its (chunk + 2p) input rows) at
+        # the cost of narrower matmuls; default 1 = one full-band conv,
+        # the configuration measured on TPU
+        chunks = int(os.environ.get("HESIC_FOLD3D_CHUNKS", "1"))
+        if chunks <= 1 or dd % chunks:
+            out = band_conv(0, dd, 0, dd)
+        else:
+            step = dd // chunks
+            out = jnp.concatenate([
+                band_conv(max(0, g - p), min(dd, g + step + p),
+                          g, g + step)
+                for g in range(0, dd, step)], axis=-1)
         return out + jnp.tile(bias, dd).astype(d)
 
 

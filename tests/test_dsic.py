@@ -63,6 +63,25 @@ class TestDSICForward:
         assert out["x1_hat"].shape == x1.shape
         assert out["x2_hat"].shape == x2.shape
 
+    def test_conv3d_chunked_band_matches_ndhwc(self, monkeypatch):
+        """HESIC_FOLD3D_CHUNKS splits the banded conv's outputs over
+        disparity chunks; every chunking must equal the NDHWC conv."""
+        from hesic_tpu.models.dsic import Conv3D
+        rng = np.random.RandomState(1)
+        B, C, F0 = 2, 8, 6
+        x5 = jnp.asarray(rng.randn(B, C, 16, 16, F0), jnp.float32)
+        m5 = Conv3D(F0)
+        p5 = m5.init(jax.random.PRNGKey(0), x5)["params"]
+        ref = np.asarray(m5.apply({"params": p5}, x5))
+        ref = ref.transpose(0, 2, 3, 1, 4).reshape(B, 16, 16, C * F0)
+        xf = jnp.asarray(np.asarray(x5).transpose(0, 2, 3, 1, 4)
+                         .reshape(B, 16, 16, C * F0))
+        for chunks in ("1", "2", "4"):
+            monkeypatch.setenv("HESIC_FOLD3D_CHUNKS", chunks)
+            out = np.asarray(Conv3D(F0, folds=C).apply({"params": p5},
+                                                       xf))
+            np.testing.assert_allclose(out, ref, atol=1e-5)
+
     def test_folded_3d_branch_matches_unfolded(self, monkeypatch):
         """The bf16 disparity-folded cost-volume branch (banded Conv3D +
         folded GroupNorm, dsic.py) must agree with the reference NDHWC
