@@ -1,0 +1,175 @@
+"""Trained-weights cross-implementation RD audit for the DSIC family.
+
+Counterpart of test_trained_parity.py for the second stereo family: a
+reference torch DSIC (mynet6.py) trained for 300 CPU steps on synthetic
+stereo pairs by ``tools/train_ref_torch.py dsic`` (committed fixture
+tests/fixtures/ref_dsic_tiny.pth.tar) is run through BOTH real codecs —
+the reference's own mynet6_plus.py compress/decompress (torch, run from
+/root/reference with our byte-identical rANS injected for
+compressai.ans and our API-compatible range coder for range_coder) and
+our JAX DSICCodec reference-layout container after convert_torch — and
+the audit asserts CDF-table bit-equality, quantized-latent equality,
+container bpp within epsilon, and matching reconstructions.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+import jax.numpy as jnp  # noqa: E402
+
+from hesic_tpu.models import DSIC, DSICCodec  # noqa: E402
+from hesic_tpu.utils.convert_torch import convert_state_dict  # noqa: E402
+
+from reference_compat import load_reference  # noqa: E402
+
+FIXTURE = os.path.join(os.path.dirname(__file__), "fixtures",
+                       "ref_dsic_tiny.pth.tar")
+N, M, F, C, K = 8, 16, 6, 8, 2
+SIZE = 128
+
+
+def _smooth_pair_nchw(rng, hw):
+    base = (0.5 + 0.25 * rng.randn(hw // 16 + 2, hw // 16 + 2, 3))
+    base = np.clip(base, 0, 1).astype(np.float32)
+    base = np.repeat(np.repeat(base, 2, 0), 2, 1)
+    idx = np.linspace(0, base.shape[0] - 1.001, hw)
+    xi = idx.astype(np.int32)
+    fi = (idx - xi).astype(np.float32)
+    rows = (base[xi] * (1 - fi)[:, None, None]
+            + base[xi + 1] * fi[:, None, None])
+    up = (rows[:, xi] * (1 - fi)[None, :, None]
+          + rows[:, xi + 1] * fi[None, :, None])
+    x1 = up.transpose(2, 0, 1)
+    x2 = np.roll(up, 3, axis=1).transpose(2, 0, 1) * 0.98 + 0.01
+    return x1[None], x2[None]
+
+
+@pytest.fixture(scope="module")
+def trained():
+    """(torch mynet6_plus.DSIC with update() done, our codec with
+    update() done)."""
+    if not hasattr(np, "int"):     # reference uses the removed alias
+        np.int = int
+    _orig_to = torch.Tensor.to
+    _orig_sync = torch.cuda.synchronize
+
+    def _to(self, *args, **kwargs):
+        args = tuple("cpu" if a in ("cuda:0", "cuda") else a for a in args)
+        return _orig_to(self, *args, **kwargs)
+
+    torch.Tensor.to = _to
+    torch.cuda.synchronize = lambda *a, **k: None
+    try:
+        ref = load_reference()
+        payload = torch.load(FIXTURE, map_location="cpu",
+                             weights_only=False)
+        # the codec-enabled snapshot (mynet6_plus) shares the module
+        # layout of the trained mynet6 model
+        net = ref["mynet6_plus"].DSIC(N=N, M=M, F=F, C=C, K=K)
+        net.load_state_dict(payload["state_dict"])
+        net.eval()
+        net.update(force=True)
+
+        params = convert_state_dict(payload["state_dict"], "dsic")
+        codec = DSICCodec(DSIC(N=N, M=M, F=F, C=C, K=K), params)
+        codec.update(force=True)
+        yield net, codec
+    finally:
+        torch.Tensor.to = _orig_to
+        torch.cuda.synchronize = _orig_sync
+
+
+class TestTrainedCdfTables:
+    def test_eb_tables_bit_equal(self, trained):
+        net, codec = trained
+        for i, name in ((1, "entropy_bottleneck1"),
+                        (2, "entropy_bottleneck2")):
+            eb = getattr(net, f"entropy_bottleneck{i}")
+            t = codec.tables[name]
+            cdf_t = eb._quantized_cdf.cpu().numpy().astype(np.int32)
+            len_t = eb._cdf_length.cpu().numpy().astype(np.int32)
+            off_t = eb._offset.cpu().numpy().astype(np.int32)
+            np.testing.assert_array_equal(t.cdf_length, len_t,
+                                          err_msg=name)
+            np.testing.assert_array_equal(t.offset, off_t, err_msg=name)
+            for c in range(cdf_t.shape[0]):
+                L = int(len_t[c])
+                np.testing.assert_array_equal(
+                    t.quantized_cdf[c, :L], cdf_t[c, :L],
+                    err_msg=f"{name} channel {c}")
+
+
+class TestTrainedContainers:
+    @pytest.fixture(scope="class")
+    def pair(self):
+        rng = np.random.RandomState(123)
+        return _smooth_pair_nchw(rng, SIZE)
+
+    @pytest.fixture(scope="class")
+    def ref_run(self, trained, pair, tmp_path_factory):
+        net, _ = trained
+        x1, x2 = pair
+        d = str(tmp_path_factory.mktemp("refcodec"))
+        with torch.no_grad():
+            enc = net.compress(torch.from_numpy(x1), torch.from_numpy(x2),
+                               "img", d)
+            dec = net.decompress("cpu", "img", d)
+        return enc, dec, d
+
+    @pytest.fixture(scope="class")
+    def our_run(self, trained, pair, tmp_path_factory):
+        _, codec = trained
+        x1, x2 = pair
+        d = str(tmp_path_factory.mktemp("ourcodec"))
+        j1 = jnp.asarray(x1.transpose(0, 2, 3, 1))
+        j2 = jnp.asarray(x2.transpose(0, 2, 3, 1))
+        enc = codec.compress(j1, j2, "img", d)
+        dec = codec.decompress("img", d)
+        return enc, dec, d
+
+    def test_reference_roundtrip_self_consistent(self, ref_run):
+        enc, dec, _ = ref_run
+        np.testing.assert_array_equal(
+            dec["y1_hat"].cpu().numpy(), enc["y1_hat"].cpu().numpy())
+        np.testing.assert_array_equal(
+            dec["y2_hat"].cpu().numpy(), enc["y2_hat"].cpu().numpy())
+
+    def test_quantized_latents_match(self, ref_run, our_run):
+        _, ref_dec, _ = ref_run
+        _, our_dec, _ = our_run
+        for key in ("y1_hat", "y2_hat"):
+            t = ref_dec[key].cpu().numpy()[0].transpose(1, 2, 0)
+            o = np.asarray(our_dec[key])[0]
+            mismatch = int((t != o).sum())
+            assert mismatch == 0, f"{key}: {mismatch} latent cells differ"
+
+    def test_bpp_real_close(self, ref_run, our_run):
+        ref_enc, _, _ = ref_run
+        our_enc, _, _ = our_run
+        assert abs(ref_enc["bpp_real"] - our_enc["bpp_real"]) < 0.004, (
+            ref_enc["bpp_real"], our_enc["bpp_real"])
+
+    def test_container_files_byte_sizes(self, ref_run, our_run):
+        _, _, ref_dir = ref_run
+        _, _, our_dir = our_run
+        ref_npz = os.path.getsize(os.path.join(ref_dir, "img.npz"))
+        our_npz = os.path.getsize(os.path.join(our_dir, "img.npz"))
+        assert our_npz == ref_npz, (ref_npz, our_npz)
+        ref_bin = os.path.getsize(os.path.join(ref_dir, "img.bin"))
+        our_bin = os.path.getsize(os.path.join(our_dir, "img.bin"))
+        assert abs(ref_bin - our_bin) <= max(16, 0.002 * ref_bin), (
+            ref_bin, our_bin)
+
+    def test_reconstructions_match(self, ref_run, our_run):
+        _, ref_dec, _ = ref_run
+        _, our_dec, _ = our_run
+        for key in ("x1_hat", "x2_hat"):
+            t = ref_dec[key].cpu().numpy()[0].transpose(1, 2, 0)
+            o = np.asarray(our_dec[key])[0]
+            mse = float(np.mean((t - o) ** 2))
+            psnr = 10 * np.log10(1.0 / max(mse, 1e-12))
+            assert psnr > 45, f"{key}: cross-impl PSNR {psnr:.2f} dB"

@@ -1,16 +1,17 @@
-"""Train the REFERENCE torch HSIC (tiny) on synthetic stereo pairs (CPU).
+"""Train a REFERENCE torch model (tiny) on synthetic stereo pairs (CPU).
 
-Produces tests/fixtures/ref_hsic_tiny.pth.tar — the trained-weights
-anchor for the cross-implementation RD audit at non-degenerate weights
-(tests/test_trained_parity.py) and for the file-level checkpoint
+Produces tests/fixtures/ref_{hsic,dsic}_tiny.pth.tar — the
+trained-weights anchors for the cross-implementation RD audits at
+non-degenerate weights (tests/test_trained_parity.py,
+tests/test_trained_parity_dsic.py) and for the file-level checkpoint
 pipeline demo (torch .pth.tar -> convert_torch -> update_model ->
 eval_model).  The reference model code is RUN from /root/reference (via
 tests/reference_compat stubs), never copied.
 
-Run once (deterministic; ~3 min on one CPU core):
+Run once per arch (deterministic; ~3-10 min on one CPU core):
 
     JAX_PLATFORMS=cpu PYTHONPATH=/root/repo:/root/repo/tests \
-        python tools/train_ref_torch.py
+        python tools/train_ref_torch.py [dsic]
 """
 
 from __future__ import annotations
@@ -60,7 +61,7 @@ def make_batch(rng, n, hw):
     return x1, x2, h
 
 
-def main():
+def main(arch: str = "hsic"):
     import torch
 
     from reference_compat import load_reference
@@ -71,7 +72,14 @@ def main():
     torch.set_num_threads(1)
     ref = load_reference()
 
-    net = ref["newnet1"].HSIC(N=N, M=M, K=K)
+    if arch == "dsic":
+        net = ref["mynet6"].DSIC(N=N, M=M, F=6, C=8, K=K)
+        out_path = OUT.replace("ref_hsic_tiny", "ref_dsic_tiny")
+        config = {"N": N, "M": M, "F": 6, "C": 8, "K": K}
+    else:
+        net = ref["newnet1"].HSIC(N=N, M=M, K=K)
+        out_path = OUT
+        config = {"N": N, "M": M, "K": K}
     opt = torch.optim.Adam(net.parameters(), lr=1e-4)
     aux_opt = torch.optim.Adam(net.aux_parameters(), lr=1e-3)
     mse = torch.nn.MSELoss()
@@ -84,7 +92,7 @@ def main():
     for step in range(STEPS):
         opt.zero_grad()
         aux_opt.zero_grad()
-        out = net(x1, x2, h)
+        out = net(x1, x2) if arch == "dsic" else net(x1, x2, h)
         bpp = sum(torch.log(lk).sum() / (-math.log(2) * num_pixels)
                   for lk in out["likelihoods"].values())
         mse_loss = mse(out["x1_hat"], x1) + mse(out["x2_hat"], x2)
@@ -100,11 +108,11 @@ def main():
                   f"aux {float(aux):.2f}", flush=True)
 
     net.eval()
-    os.makedirs(os.path.dirname(OUT), exist_ok=True)
+    os.makedirs(os.path.dirname(out_path), exist_ok=True)
     torch.save({"state_dict": net.state_dict(),
-                "config": {"N": N, "M": M, "K": K}}, OUT)
-    print("wrote", OUT, os.path.getsize(OUT), "bytes")
+                "config": config}, out_path)
+    print("wrote", out_path, os.path.getsize(out_path), "bytes")
 
 
 if __name__ == "__main__":
-    main()
+    main(sys.argv[1] if len(sys.argv) > 1 else "hsic")
