@@ -173,3 +173,36 @@ class TestTrainedContainers:
             mse = float(np.mean((t - o) ** 2))
             psnr = 10 * np.log10(1.0 / max(mse, 1e-12))
             assert psnr > 45, f"{key}: cross-impl PSNR {psnr:.2f} dB"
+
+
+class TestCheckpointPipeline:
+    """File-level checkpoint journey for the DSIC family: torch .pth.tar
+    -> convert_torch CLI -> update_model CLI -> eval_model CLI."""
+
+    def test_convert_update_eval(self, tmp_path):
+        import json
+
+        from PIL import Image
+
+        from hesic_tpu.utils import convert_torch, eval_model, update_model
+
+        pkl = str(tmp_path / "model.pkl")
+        convert_torch.main([FIXTURE, "--arch", "dsic", "-o", pkl])
+        updated = update_model.main([pkl, "--arch", "dsic"])
+        assert os.path.exists(updated) and updated != pkl
+
+        rng = np.random.RandomState(5)
+        for eye in ("left", "right"):
+            d = tmp_path / "data" / "test" / eye
+            d.mkdir(parents=True)
+            arr = (rng.rand(64, 64, 3) * 255).astype(np.uint8)
+            Image.fromarray(arr).save(d / "0.png")
+        out_json = str(tmp_path / "res.json")
+        eval_model.main([
+            "--arch", "dsic", "--dataset", str(tmp_path / "data"),
+            "--checkpoint", updated, "--max-images", "1",
+            "--workdir", str(tmp_path), "--output", out_json,
+        ])
+        with open(out_json) as f:
+            flat = json.dumps(json.load(f))
+        assert "bpp" in flat and "psnr" in flat
