@@ -6,12 +6,13 @@ homography-net inputs: 256-resize, grayscale, normalize, random 128 patch
 + corner tensor) and the original single-image version
 (datasets/utils_backup.py:22).
 
-The classical SURF+RANSAC homography (utils.py:30-67) is intentionally NOT
-rebuilt: the supported path is the learned homography network — the
-reference's own "real" training scripts already use it
-(newtrain1_real.py:113-131).  Loading is PIL + numpy; batching is a plain
-iterator so the input pipeline stays framework-free and feeds
-``jax.device_put`` directly.
+The classical SURF+RANSAC homography (utils.py:30-67) is available as the
+opt-in ``classical_h=True`` mode, served by the TPU-native feature pipeline
+(geometry/features.py: Harris + upright-SURF descriptors + RANSAC DLT); the
+default path remains the learned homography network — the reference's own
+"real" training scripts already use it (newtrain1_real.py:113-131).
+Loading is PIL + numpy; batching is a plain iterator so the input pipeline
+stays framework-free and feeds ``jax.device_put`` directly.
 """
 
 from __future__ import annotations
@@ -76,6 +77,7 @@ class StereoImageFolder:
 
     def __init__(self, root: str, split: str = "train",
                  patch_size=(256, 256), need_file_name: bool = False,
+                 classical_h: bool = False,
                  rng: Optional[np.random.RandomState] = None):
         splitdir = os.path.join(root, split)
         if not os.path.isdir(splitdir):
@@ -88,6 +90,11 @@ class StereoImageFolder:
             patch_size = (patch_size, patch_size)
         self.patch_size = tuple(patch_size)
         self.need_file_name = need_file_name
+        # classical_h: emit an "h" entry per pair from the feature-based
+        # estimator, the reference get_H path (datasets/utils.py:189-196:
+        # identity stands in where the reference degraded its tuple on a
+        # SURF failure, so batch shapes stay static)
+        self.classical_h = classical_h
         self.rng = rng or np.random.RandomState()
 
     def __len__(self):
@@ -138,6 +145,11 @@ class StereoImageFolder:
             "homo_full1": full1,
             "corners": corners,
         }
+        if self.classical_h:
+            from ..geometry.features import get_h_classical
+            h_cls = get_h_classical(img1, img2)
+            item["h"] = (np.eye(3, dtype=np.float32)
+                         if h_cls is None else h_cls)
         if self.need_file_name:
             item["name"] = os.path.basename(lpath)
         return item

@@ -1,8 +1,13 @@
+from .features import (estimate_homography, find_homography_ransac,
+                       get_h_classical)
 from .homography import (get_perspective_transform, upscale_homography,
                          warp_perspective)
 from .net import HomographyNet, photometric_loss
 
 __all__ = [
+    "estimate_homography",
+    "find_homography_ransac",
+    "get_h_classical",
     "get_perspective_transform",
     "upscale_homography",
     "warp_perspective",

@@ -63,6 +63,33 @@ class TestStereoImageFolder:
         with pytest.raises(ValueError):
             ds[0]
 
+    def test_classical_h_mode(self, tmp_path):
+        """classical_h=True emits a per-pair H from the feature estimator
+        (the reference get_H path, datasets/utils.py:30-67); a shifted
+        right view must recover the shift."""
+        rng = np.random.RandomState(2)
+        blocks = rng.rand(16, 16, 3)
+        img = np.repeat(np.repeat(blocks, 8, 0), 8, 1)
+        img = (np.clip(img, 0, 1) * 255).astype(np.uint8)
+        right = np.roll(img, -4, axis=1)  # im2(x) = im1(x + 4)
+        for eye, arr in (("left", img), ("right", right)):
+            d = tmp_path / "train" / eye
+            d.mkdir(parents=True)
+            Image.fromarray(arr).save(d / "a.png")
+        ds = StereoImageFolder(str(tmp_path), "train",
+                               patch_size=(128, 128), classical_h=True)
+        item = ds[0]
+        assert item["h"].shape == (3, 3)
+        assert abs(item["h"][0, 2] - (-4.0)) < 1.0
+        # identity fallback on a featureless pair (reference returns a
+        # degraded tuple on SURF failure, utils.py:189-196)
+        for eye in ("left", "right"):
+            Image.fromarray(np.full((128, 128, 3), 90, np.uint8)).save(
+                tmp_path / "train" / eye / "a.png")
+        ds2 = StereoImageFolder(str(tmp_path), "train",
+                                patch_size=(128, 128), classical_h=True)
+        np.testing.assert_array_equal(ds2[0]["h"], np.eye(3))
+
     def test_batch_iterator(self, tmp_path):
         root = _make_stereo_tree(tmp_path, n=5)
         ds = StereoImageFolder(root, "train", patch_size=(64, 64))
