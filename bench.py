@@ -331,17 +331,18 @@ def bench_hesic_plus_device():
         "value": round(pairs_per_sec, 3),
         "unit": "pairs/s/chip",
         "vs_baseline": round(pairs_per_sec / BASELINE_PAIRS_PER_SEC, 3),
+        **_mfu_fields(codec, hw, pairs_per_sec, batch=batch),
     }))
 
 
-def _mfu_fields(codec, hw: int, pairs_per_sec: float) -> dict:
+def _mfu_fields(codec, hw: int, pairs_per_sec: float, **kw) -> dict:
     """MFU from XLA's own cost analysis of the codec programs (compiles
     hit the persistent cache — the same shapes just ran).  v5e peak:
     197 bf16 TFLOP/s.  Failures are reported, not swallowed — a silent
     except here once hid cond/stream programs contributing 0 FLOPs."""
     import sys
     try:
-        fl = codec.device_flops(hw, hw)
+        fl = codec.device_flops(hw, hw, **kw)
         tflops = fl["flops_per_pair"] * pairs_per_sec / 1e12
         peak = float(os.environ.get("BENCH_PEAK_TFLOPS", "197"))
         return {

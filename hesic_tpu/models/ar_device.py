@@ -633,6 +633,64 @@ class HESICPlusDeviceCodec:
         m = self.w1.ctx_kernel.shape[2]
         return b * p_max * (m // self.groups)
 
+    def device_flops(self, h_img: int, w_img: int, batch: int = 4) -> dict:
+        """XLA cost-analysis FLOPs for one enc+dec roundtrip (bench MFU
+        accounting, VERDICT r2 #6 — same contract as
+        hesic_fast.HESICFastCodec.device_flops).
+
+        Lowers the three fused programs of this codec (enc transforms,
+        the shared both-eyes chain — run once per direction — and the
+        dec-only output synthesis) with abstract inputs at the EXACT
+        shapes/dtypes of the real call chain (dtypes derived via
+        ``jax.eval_shape`` so bf16 modules match), so compiles hit the
+        persistent cache when a bench roundtrip at the same batch just
+        ran.  The Pallas wavefront kernel and the Mosaic pairs encoder
+        are opaque to XLA's analysis: the count covers the
+        transform/conditioning FLOPs — the MXU-relevant part.
+        """
+        b = batch
+        hy, wy = h_img // 16, w_img // 16
+        m = self.w1.ctx_kernel.shape[2]
+        params = self.base.params
+        lanes = self._lanes(b, hy, wy)
+
+        f32 = jnp.float32
+        x_sd = jax.ShapeDtypeStruct((b, h_img, w_img, 3), f32)
+        h_sd = jax.ShapeDtypeStruct((b, 3, 3), f32)
+        enc = self._enc_transforms()
+        y1_sd, y2_sd, z1_sd, z2_sd = jax.eval_shape(
+            enc, params, x_sd, x_sd, h_sd)
+
+        def sd(t):
+            return jax.ShapeDtypeStruct(t.shape, t.dtype)
+
+        wo = jax.ShapeDtypeStruct((lanes, self.cap), jnp.int32)
+        cnt = jax.ShapeDtypeStruct((lanes,), jnp.int32)
+        st = jax.ShapeDtypeStruct((lanes,), jnp.uint32)
+        ci = jax.ShapeDtypeStruct((b, hy, wy, m), jnp.int32)
+        teach = jax.ShapeDtypeStruct((), jnp.bool_)
+        chain = self._chain()
+        chain_args = (params, sd(z1_sd), sd(z2_sd), sd(y1_sd), sd(y2_sd),
+                      wo, cnt, st, wo, cnt, st, ci, ci, ci, ci, h_sd,
+                      teach)
+        outs = jax.eval_shape(chain, *chain_args)
+        progs = {
+            "enc_transforms": (enc, (params, x_sd, x_sd, h_sd)),
+            "chain": (chain, chain_args),
+            "dec_out": (self._dec_out(),
+                        (params, sd(outs[5]), sd(outs[6]), h_sd)),
+        }
+        per = {}
+        for name, (fn, args) in progs.items():
+            cost = fn.lower(*args).compile().cost_analysis()
+            if isinstance(cost, (list, tuple)):
+                cost = cost[0]
+            per[name] = float(cost.get("flops", 0.0))
+        total = per["enc_transforms"] + 2.0 * per["chain"] + per["dec_out"]
+        return {"flops_total": total,
+                "flops_per_pair": total / b,
+                "per_program": per}
+
     @staticmethod
     def _pack_escapes(resid_np, mm):
         flat = resid_np.reshape(-1)

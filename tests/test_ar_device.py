@@ -130,6 +130,21 @@ class TestHESICPlusDevice:
         np.testing.assert_array_equal(np.asarray(rec["y2_hat"]),
                                       np.asarray(out["y2_hat"]))
 
+    def test_device_flops_counts_every_program(self):
+        """MFU accounting (bench.py BENCH_MODE=hesic-plus-device): each
+        of the three fused programs must contribute FLOPs."""
+        from hesic_tpu.models import (HESICPlus, HESICPlusCodec,
+                                      HESICPlusDeviceCodec)
+        module = HESICPlus(N=16, M=24)
+        base = HESICPlusCodec.init(
+            module, [(2, 64, 64, 3), (2, 64, 64, 3), (2, 3, 3)])
+        base.update()
+        codec = HESICPlusDeviceCodec(base, mm=8, groups=4)
+        fl = codec.device_flops(64, 64, batch=2)
+        for name in ("enc_transforms", "chain", "dec_out"):
+            assert fl["per_program"][name] > 0, name
+        assert fl["flops_per_pair"] > fl["per_program"]["chain"] / 2
+
 
 class TestNonSquare:
     def test_wavefront_non_square(self):
