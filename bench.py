@@ -286,7 +286,10 @@ def bench_hesic_plus_device():
                                   HESICPlusDeviceCodec)
 
     hw = int(os.environ.get("BENCH_SIZE", "512"))
-    batch = int(os.environ.get("BENCH_BATCH", "4"))
+    # batch 11 fills the wavefront kernel's lane tile exactly: at 512²
+    # p_max = 11, so r_dim = B·11 pads to the 128-lane boundary at B=11
+    # (measured 24.2 vs 16.5 pairs/s at B=8; B=12 would double padding)
+    batch = int(os.environ.get("BENCH_BATCH", "11"))
     n_batches = int(os.environ.get("BENCH_BATCHES", "4"))
     mm = int(os.environ.get("BENCH_MM", "16"))
     groups = int(os.environ.get("BENCH_GROUPS", "8"))

@@ -854,13 +854,16 @@ class HESICFastCodec(HESICCodec):
                      z2_sym.shape).astype(np.int32) - 32768
         h_np = np.asarray(h_matrix)
 
-        z_strs = []
-        for i in range(b):
-            z_strs.append((
-                self._eb_encode_symbols("entropy_bottleneck1",
-                                        z1_np[i:i + 1]),
-                self._eb_encode_symbols("entropy_bottleneck2",
-                                        z2_np[i:i + 1])))
+        from ..entropy_models.codec import compress_with_indexes
+        s1_list, s2_list = (
+            compress_with_indexes(
+                sym,
+                np.broadcast_to(np.arange(sym.shape[-1], dtype=np.int32),
+                                sym.shape),
+                self.tables[name])
+            for name, sym in (("entropy_bottleneck1", z1_np),
+                              ("entropy_bottleneck2", z2_np)))
+        z_strs = list(zip(s1_list, s2_list))
         num_pixels = 2 * x1.shape[1] * x1.shape[2]
 
         if batch_container:

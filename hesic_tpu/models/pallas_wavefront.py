@@ -73,7 +73,7 @@ def _kernel(teacher_ref, pre_ref, post_ref, ytrue_ref, cmask_ref, cval_ref,
 
     @pl.when(s == 0)
     def _init():
-        ybuf[...] = jnp.zeros(ybuf.shape, jnp.float32)
+        ybuf[...] = jnp.zeros(ybuf.shape, ybuf.dtype)
         x_s[...] = states_ref[...]
         p_s[...] = counts_ref[...]
         # weights live in HBM (memory_space=ANY) and are DMA'd into VMEM
@@ -99,11 +99,17 @@ def _kernel(teacher_ref, pre_ref, post_ref, ytrue_ref, cmask_ref, cval_ref,
     # slices to be provably 8-aligned.  Lane order inside the kernel is
     # therefore r = p * B + b; the wrapper converts to/from the external
     # (b * p_max + p) order.
+    # ring slabs are stored in wdtype already (the ONLY consumer is this
+    # wdtype matmul, so narrow storage is lossless — and it halves the
+    # ring's VMEM footprint under bf16, the term that capped the lane
+    # batch at the 16 MB scoped-vmem limit)
     taps = []
     for (di, dj) in _TAPS:
         slot = (s + 3 * di + dj) % _RING
         slab = ybuf[slot, pl.ds(_RPAD + lo + di, p_max), :, :]
-        taps.append(slab.reshape(r_dim, m))          # (pmax, B, M) each
+        # reshape in f32: Mosaic's layout inference rejects the sublane
+        # collapse on bf16 vectors (bf16<->f32 casts are lossless here)
+        taps.append(slab.astype(jnp.float32).reshape(r_dim, m))
     feat_ctx = jnp.concatenate(taps, axis=1).astype(wdtype)  # (R, 12M)
     ctx = jnp.dot(feat_ctx, tapk_v[...],
                   preferred_element_type=jnp.float32) + ctxb_ref[...]
@@ -229,8 +235,8 @@ def _kernel(teacher_ref, pre_ref, post_ref, ytrue_ref, cmask_ref, cval_ref,
     y_rm = jnp.transpose(y_hat_l).reshape(p_max, b, m)  # (pmax, B, M)
     row_iota = jax.lax.broadcasted_iota(jnp.int32, (p_max, b, m), 0)
     upd = jnp.where(row_iota < cnt, y_rm, 0.0)
-    ybuf[slot_w] = jnp.zeros((rows, b, m), jnp.float32)
-    ybuf[slot_w, pl.ds(_RPAD + lo, p_max), :, :] = upd
+    ybuf[slot_w] = jnp.zeros((rows, b, m), ybuf.dtype)
+    ybuf[slot_w, pl.ds(_RPAD + lo, p_max), :, :] = upd.astype(ybuf.dtype)
 
 
 @functools.partial(
@@ -370,7 +376,7 @@ def ar_wavefront_pallas(weights, pre, post, y_true, corr_mask, corr_val,
         out_specs=out_specs,
         out_shape=out_shape,
         scratch_shapes=[
-            pltpu.VMEM((_RING, rows, b, m), jnp.float32),
+            pltpu.VMEM((_RING, rows, b, m), wdtype),
             pltpu.VMEM((s_dim, m, r_dim), jnp.float32),
             pltpu.VMEM((mg, r_dim), jnp.uint32),
             pltpu.VMEM((mg, r_dim), jnp.int32),
