@@ -116,6 +116,36 @@ class TestKernelRoundtrip:
                                       np.asarray(yh_enc))
 
 
+class TestKernelRoundtripBf16:
+    def test_encode_decode_bit_exact_bf16(self):
+        """The TPU operating point (wdtype=bf16, bf16 ring storage):
+        encode and decode run the same program, so the roundtrip must be
+        bit-exact regardless of matmul/ring dtype."""
+        case = (2, 4, 8, 16, 3, 2, 16)
+        b, hy, wy, m, mm, groups, q_dim = case
+        w, pre, post, y, teach_args = _setup(2, *case)
+        st, fr, yh_enc, rs = ar_wavefront_pallas(
+            *teach_args, wdtype=jnp.bfloat16, interpret=True)
+        valid = wavefront_valid_mask(hy, wy, b, groups, m)
+        words, counts, states = rans_encode_grid(
+            st.astype(jnp.uint32), fr.astype(jnp.uint32), valid)
+        rs_np = np.asarray(rs).reshape(-1)
+        idx = np.flatnonzero(np.abs(rs_np) > mm)
+        cm = np.zeros(rs_np.size, np.int32)
+        cv = np.zeros(rs_np.size, np.int32)
+        cm[idx] = 1
+        cv[idx] = rs_np[idx]
+        cm = jnp.asarray(cm.reshape(b, hy, wy, m))
+        cv = jnp.asarray(cv.reshape(b, hy, wy, m))
+        _, _, yh_dec, _ = ar_wavefront_pallas(
+            w, pre, post, jnp.zeros((b, hy, wy, m), jnp.float32), cm, cv,
+            words.astype(jnp.int32), counts.astype(jnp.int32),
+            states.astype(jnp.uint32), jnp.bool_(False), hy, wy, mm,
+            groups, wdtype=jnp.bfloat16, interpret=True)
+        np.testing.assert_array_equal(np.asarray(yh_dec),
+                                      np.asarray(yh_enc))
+
+
 class TestBackendTagging:
     def test_container_backend_mismatch_raises(self):
         from hesic_tpu.models.ar_device import check_wavefront_backend
