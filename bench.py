@@ -235,7 +235,9 @@ def bench_ar_device():
                                   JointAutoregressiveHierarchicalPriors)
 
     hw = int(os.environ.get("BENCH_SIZE", "512"))
-    batch = int(os.environ.get("BENCH_BATCH", "8"))
+    # batch 11 fills the wavefront lane tile (p_max=11 at 512²; see
+    # bench_hesic_plus_device): measured 29.7 vs 25.9 images/s at batch 8
+    batch = int(os.environ.get("BENCH_BATCH", "11"))
     n_batches = int(os.environ.get("BENCH_BATCHES", "4"))
     mm = int(os.environ.get("BENCH_MM", "16"))
     groups = int(os.environ.get("BENCH_GROUPS", "8"))
