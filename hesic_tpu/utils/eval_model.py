@@ -58,8 +58,10 @@ def eval_single(codec, x: np.ndarray, entropy_estimation: bool) -> dict:
         t0 = time.time()
         rec = codec.decompress(comp["strings"], comp["shape"])
         dec_t = time.time() - t0
-        total_bytes = sum(len(s) for group in comp["strings"]
-                          for s in group)
+        total_bytes = sum(
+            len(group) if isinstance(group, (bytes, bytearray))
+            else sum(len(s) for s in group)
+            for group in comp["strings"])
         bpp = total_bytes * 8 / num_pixels
         x_hat = np.asarray(rec["x_hat"])
     x_hat = unpad(x_hat, meta)
@@ -73,11 +75,17 @@ def eval_single(codec, x: np.ndarray, entropy_estimation: bool) -> dict:
 
 
 def eval_stereo(codec, x1, x2, h_matrix, entropy_estimation: bool,
-                with_h: bool, workdir: str, name: str) -> dict:
+                with_h: bool, workdir: str, name: str,
+                device_blob: bool = False) -> dict:
     """One pair through the test3real protocol (reference test3real.py):
     per-eye PSNR / MS-SSIM plus averages, bpp over 2*H*W, and — in
     estimation mode — the reference's bpp1/bpp2 per-eye breakdown
-    (normalized by 1*H*W like test3real's RateDistortionLoss kind=1)."""
+    (normalized by 1*H*W like test3real's RateDistortionLoss kind=1).
+
+    ``device_blob``: the codec is a wavefront device codec (in-memory
+    single-blob container, ``compress(x1, x2, h)`` /
+    ``decompress(strings)``) rather than the reference-layout file
+    container."""
     num_pixels = 2 * x1.shape[1] * x1.shape[2]
     eye_pixels = x1.shape[1] * x1.shape[2]
     args = (jnp.asarray(x1), jnp.asarray(x2)) + (
@@ -95,6 +103,14 @@ def eval_stereo(codec, x1, x2, h_matrix, entropy_estimation: bool,
         x1_hat = np.asarray(jnp.clip(out["x1_hat"], 0, 1))
         x2_hat = np.asarray(jnp.clip(out["x2_hat"], 0, 1))
         enc_t = dec_t = 0.0
+    elif device_blob:
+        comp = codec.compress(*args)
+        rec = codec.decompress(comp["strings"])
+        bpp = comp["bpp_real"]
+        enc_t = comp.get("enctime", 0.0)
+        dec_t = rec.get("dectime", 0.0)
+        x1_hat = np.asarray(jnp.clip(rec["x1_hat"], 0, 1))
+        x2_hat = np.asarray(jnp.clip(rec["x2_hat"], 0, 1))
     else:
         comp = codec.compress(*args, output_name=name,
                               output_path=workdir)
@@ -129,12 +145,34 @@ def main(argv=None):
     parser.add_argument("--max-images", type=int, default=None)
     parser.add_argument("--workdir", default="/tmp")
     parser.add_argument("--output", default=None)
+    parser.add_argument("--device-codec", action="store_true",
+                        help="route AR y-latents through the wavefront "
+                        "device codec (mbt2018 / cheng2020-* / "
+                        "hesic-plus; the TPU production path — own "
+                        "stream format, one blob per batch)")
     args = parser.parse_args(argv)
 
     codec = create_model(args.arch, quality=args.quality,
                          checkpoint=args.checkpoint)
     if not args.entropy_estimation:
         codec.update()
+    device_blob = False
+    if args.device_codec:
+        if args.entropy_estimation:
+            parser.error("--device-codec runs the real coder; drop "
+                         "--entropy-estimation")
+        from ..models import (HESICPlusDeviceCodec,
+                              JointAutoregressiveDeviceCodec)
+        if args.arch == "hesic-plus":
+            codec = HESICPlusDeviceCodec(codec)
+            device_blob = True
+        elif args.arch in ("mbt2018", "cheng2020-anchor",
+                           "cheng2020-attn"):
+            codec = JointAutoregressiveDeviceCodec(codec)
+        else:
+            parser.error("--device-codec supports mbt2018, cheng2020-*, "
+                         "and hesic-plus (hesic/dsic already default to "
+                         "their fast device codecs)")
 
     stereo = is_stereo(args.arch)
     with_h = uses_homography(args.arch)
@@ -162,7 +200,8 @@ def main(argv=None):
                 h = identity
             res = eval_stereo(codec, item["x1"][None], item["x2"][None],
                               h, args.entropy_estimation, with_h,
-                              args.workdir, f"eval_{i}")
+                              args.workdir, f"eval_{i}",
+                              device_blob=device_blob)
             results.append(res)
             print(f"[{i}] {item.get('name', i)}: "
                   + " ".join(f"{k}={v:.4f}" for k, v in res.items()))

@@ -60,6 +60,48 @@ class TestEvalModel:
         assert res["bpp"] > 0
         assert res["encoding_time"] > 0
 
+    def test_single_image_device_codec(self, tmp_path):
+        """--device-codec routes mbt2018 through the wavefront codec
+        (scan backend on CPU) behind the same CLI contract."""
+        data = _single_tree(tmp_path / "d", size=64)
+        import hesic_tpu.zoo as zoo
+        codec = zoo.create_model("mbt2018", quality=1,
+                                 image_size=(64, 64), N=8, M=16)
+        ckpt = str(tmp_path / "m.pkl")
+        codec.save(ckpt)
+        summary = eval_model.main([
+            "--arch", "mbt2018", "--dataset", data,
+            "--checkpoint", ckpt, "--max-images", "1",
+            "--workdir", str(tmp_path), "--device-codec",
+        ])
+        res = summary["results"]
+        assert res["bpp"] > 0
+        assert np.isfinite(res["psnr"])
+
+    def test_stereo_device_codec(self, tmp_path):
+        data = _stereo_tree(tmp_path / "d")
+        import hesic_tpu.zoo as zoo
+        codec = zoo.create_model("hesic-plus", quality=1,
+                                 image_size=(64, 64), N=8, M=16)
+        ckpt = str(tmp_path / "m.pkl")
+        codec.save(ckpt)
+        summary = eval_model.main([
+            "--arch", "hesic-plus", "--dataset", data,
+            "--checkpoint", ckpt, "--max-images", "1",
+            "--workdir", str(tmp_path), "--device-codec",
+        ])
+        res = summary["results"]
+        assert res["bpp"] > 0
+        assert np.isfinite(res["psnr"])
+
+    def test_device_codec_rejects_unsupported_arch(self, tmp_path):
+        data = _single_tree(tmp_path / "d", size=64)
+        with pytest.raises(SystemExit):
+            eval_model.main([
+                "--arch", "bmshj2018-factorized", "--dataset", data,
+                "--device-codec",
+            ])
+
     def test_pad_unpad_roundtrip(self):
         x = np.random.RandomState(0).rand(1, 100, 130, 3).astype(np.float32)
         xp, meta = eval_model.pad_to_multiple(x, 64)
