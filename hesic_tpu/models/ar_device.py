@@ -431,7 +431,14 @@ class JointAutoregressiveDeviceCodec:
         else:
             idx = np.zeros(0, np.uint32)
             vals = np.zeros(0, np.int32)
-        from ..codecs.device_rans import pack_stream
+        from ..codecs.device_rans import (compact_stream,
+                                          pack_stream_dense, pow2_bucket)
+        # dense u16 payload: device compaction instead of fetching the
+        # padded (lanes, cap) int32 buffer over the link
+        states_np = np.asarray(states)
+        bucket = pow2_bucket(int(counts.sum()))
+        flat = np.asarray(compact_stream(
+            words, jnp.asarray(counts.astype(np.int32)), bucket))
         blob = bytearray()
         blob += bytes([wavefront_backend_id()])
         blob += np.array([x.shape[0], x.shape[1], x.shape[2],
@@ -441,7 +448,7 @@ class JointAutoregressiveDeviceCodec:
         blob += vals.tobytes()
         for s in z_strings:
             blob += np.array([len(s)], np.uint32).tobytes() + s
-        blob += pack_stream(words, counts, states)
+        blob += pack_stream_dense(flat, counts, states_np)
         num_pixels = x.shape[0] * x.shape[1] * x.shape[2]
         return {"strings": [bytes(blob)], "shape": tuple(z.shape[1:3]),
                 "y_hat": y_hat,
@@ -470,8 +477,20 @@ class JointAutoregressiveDeviceCodec:
             off += 4
             z_strings.append(blob[off:off + int(length)])
             off += int(length)
-        from ..codecs.device_rans import unpack_stream
-        words, counts, states, off = unpack_stream(blob, off)
+        from ..codecs.device_rans import (expand_stream, pow2_bucket,
+                                          unpack_stream_dense)
+        flat, counts, states, off = unpack_stream_dense(blob, off)
+        # pow2 word cap: bounds both the upload (dense payload only)
+        # and the number of distinct decode-program shapes (the old
+        # exact-max padding recompiled per payload)
+        cap = 256
+        while cap < max(int(counts.max()), 1):
+            cap *= 2
+        bucket = pow2_bucket(flat.size)
+        fp = np.zeros(bucket, np.uint16)
+        fp[:flat.size] = flat
+        words = expand_stream(jnp.asarray(fp),
+                             jnp.asarray(counts.astype(np.int32)), cap)
 
         hy, wy = h_img // 16, w_img // 16
         z_hat = base.eb_decompress("entropy_bottleneck", z_strings,
@@ -488,7 +507,7 @@ class JointAutoregressiveDeviceCodec:
             corr_mask = jnp.asarray(cm.reshape(b, hy, wy, m))
             corr_val = jnp.asarray(cv.reshape(b, hy, wy, m))
         y_hat = wavefront_decode(
-            self.weights, pre, jnp.asarray(words), jnp.asarray(counts),
+            self.weights, pre, words, jnp.asarray(counts),
             jnp.asarray(states), corr_mask=corr_mask, corr_val=corr_val,
             mm=self.mm, groups=self.groups)
         x_hat = jnp.clip(base.jit("synthesis")(y_hat), 0.0, 1.0)
@@ -718,7 +737,7 @@ class HESICPlusDeviceCodec:
 
     def compress(self, x1, x2, h_matrix):
         import time
-        from ..codecs.device_rans import pack_stream
+        from ..codecs.device_rans import pack_stream_dense
         from ..entropy_models.codec import compress_with_indexes
         start = time.time()
         base = self.base
@@ -753,15 +772,25 @@ class HESICPlusDeviceCodec:
         wo1, c1_d, st1 = self._dispatch_pairs(s1, f1, valid, cap)
         wo2, c2_d, st2 = self._dispatch_pairs(s2, f2, valid, cap)
 
-        # ONE batched host sync for everything the container needs
-        (z1s_np, z2s_np, wo1_np, c1, st1_np, wo2_np, c2, st2_np,
+        # stage-1 host sync: everything SMALL the container needs (the
+        # word buffers stay on device and cross compacted below — the
+        # padded (lanes, cap) int32 fetch measured 220 ms of a 630 ms
+        # batch-11 roundtrip)
+        (z1s_np, z2s_np, c1, st1_np, c2, st2_np,
          n1, n2) = jax.device_get(
-            (z1_sym, z2_sym, wo1, c1_d, st1, wo2, c2_d, st2,
-             n1_d, n2_d))
-        wo1_np, c1, st1_np = self._retry_overflow(
-            s1, f1, valid, cap, wo1_np, c1, st1_np)
-        wo2_np, c2, st2_np = self._retry_overflow(
-            s2, f2, valid, cap, wo2_np, c2, st2_np)
+            (z1_sym, z2_sym, c1_d, st1, c2_d, st2, n1_d, n2_d))
+        wo1, c1, st1_np = self._retry_overflow(
+            s1, f1, valid, cap, wo1, c1, st1_np)
+        wo2, c2, st2_np = self._retry_overflow(
+            s2, f2, valid, cap, wo2, c2, st2_np)
+
+        # stage-2: dense u16 payloads (device compaction, one fetch)
+        from ..codecs.device_rans import compact_stream, pow2_bucket
+        b1 = pow2_bucket(int(c1.sum()))
+        b2 = pow2_bucket(int(c2.sum()))
+        flat1, flat2 = jax.device_get(
+            (compact_stream(wo1, jnp.asarray(c1.astype(np.int32)), b1),
+             compact_stream(wo2, jnp.asarray(c2.astype(np.int32)), b2)))
 
         # host EB coding of the z symbols (CDF tables, C++ rANS)
         z_strings = []
@@ -787,8 +816,8 @@ class HESICPlusDeviceCodec:
             for s in strs:
                 blob += np.array([len(s)], np.uint32).tobytes() + s
         blob += np.asarray(h_matrix, np.float32).tobytes()
-        blob += pack_stream(wo1_np, c1, st1_np)
-        blob += pack_stream(wo2_np, c2, st2_np)
+        blob += pack_stream_dense(flat1, c1, st1_np)
+        blob += pack_stream_dense(flat2, c2, st2_np)
         num_pixels = 2 * b * x1.shape[1] * x1.shape[2]
         return {"strings": [bytes(blob)], "shape": (hy, wy),
                 "y1_hat": y1_hat, "y2_hat": y2_hat,
@@ -809,16 +838,19 @@ class HESICPlusDeviceCodec:
     def _retry_overflow(self, starts, freqs, valid, cap, words, counts,
                         states):
         """Re-encode one eye with a doubled word budget if any lane
-        overflowed the cap (pathological payloads only)."""
+        overflowed the cap (pathological payloads only).  ``words``
+        stays a device array (compacted before it crosses the link)."""
         while _use_pallas_wavefront() and int(counts.max()) > cap:
             cap *= 2
-            w_d, c_d, s_d = self._dispatch_pairs(starts, freqs, valid, cap)
-            words, counts, states = jax.device_get((w_d, c_d, s_d))
+            words, c_d, s_d = self._dispatch_pairs(starts, freqs, valid,
+                                                   cap)
+            counts, states = jax.device_get((c_d, s_d))
         return words, counts, states
 
     def decompress(self, strings):
         import time
-        from ..codecs.device_rans import unpack_stream
+        from ..codecs.device_rans import (expand_stream, pow2_bucket,
+                                          unpack_stream_dense)
         from ..entropy_models.codec import decompress_with_indexes
         start = time.time()
         base = self.base
@@ -843,21 +875,24 @@ class HESICPlusDeviceCodec:
         h_matrix = jnp.asarray(np.frombuffer(
             blob, np.float32, 9 * b, off).reshape(b, 3, 3))
         off += 36 * b
-        wo1, c1, st1, off = unpack_stream(blob, off)
-        wo2, c2, st2, off = unpack_stream(blob, off)
+        flat1, c1, st1, off = unpack_stream_dense(blob, off)
+        flat2, c2, st2, off = unpack_stream_dense(blob, off)
 
-        # words buffers re-padded to the SAME cap the encode-side chain
-        # compiled with, so decode reuses that executable (pathological
-        # payloads that overflowed the cap at encode force a wider
-        # recompile, mirroring the encoder's retry)
+        # words buffers re-expanded ON DEVICE to the SAME cap the
+        # encode-side chain compiled with, so decode reuses that
+        # executable and only the dense payload rides the host link
+        # (pathological payloads that overflowed the cap at encode
+        # force a wider recompile, mirroring the encoder's retry)
         cap = self.cap
-        while cap < max(wo1.shape[1], wo2.shape[1]):
+        while cap < max(int(c1.max()), int(c2.max()), 1):
             cap *= 2
 
-        def pad(w):
-            out = np.zeros((w.shape[0], cap), np.int32)
-            out[:, :w.shape[1]] = w
-            return jnp.asarray(out)
+        def pad(flat, c):
+            bucket = pow2_bucket(flat.size)
+            fp = np.zeros(bucket, np.uint16)
+            fp[:flat.size] = flat
+            return expand_stream(jnp.asarray(fp),
+                                jnp.asarray(c.astype(np.int32)), cap)
 
         # raw z symbols: the chain itself rebuilds z_hat = sym + median
         z_syms = []
@@ -874,8 +909,10 @@ class HESICPlusDeviceCodec:
         (_s1, _f1, _s2, _f2, y1_hat, y2_hat, x1_hat, _r1, _r2,
          _n1, _n2) = self._chain()(
             base.params, z_syms[0], z_syms[1], yzero, yzero,
-            pad(wo1), jnp.asarray(c1.astype(np.int32)), jnp.asarray(st1),
-            pad(wo2), jnp.asarray(c2.astype(np.int32)), jnp.asarray(st2),
+            pad(flat1, c1), jnp.asarray(c1.astype(np.int32)),
+            jnp.asarray(st1),
+            pad(flat2, c2), jnp.asarray(c2.astype(np.int32)),
+            jnp.asarray(st2),
             cm1 if cm1 is not None else zi,
             cv1 if cv1 is not None else zi,
             cm2 if cm2 is not None else zi,

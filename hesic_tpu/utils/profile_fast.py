@@ -20,21 +20,34 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def _sync(out):
+    """Force a REAL device sync: block_until_ready can return early for
+    some programs through the axon tunnel (observed: a pure-gather
+    program timed as 0 ms), so fetch one element of the first array."""
+    jax.block_until_ready(out)
+    leaves = [lf for lf in jax.tree_util.tree_leaves(out)
+              if hasattr(lf, "ravel")]
+    if leaves:
+        np.asarray(leaves[0].ravel()[0])
+
+
 def _time(fn, *args, n=6, warmup=2):
     for _ in range(warmup):
         out = fn(*args)
-    jax.block_until_ready(out)
-    # tunnel-safe sync: fetch one element of the first array output
+    _sync(out)
+    # the device queue is serial: enqueue n calls, one hard sync at the
+    # end — measures true per-call device time with dispatch amortized
     t0 = time.time()
     for _ in range(n):
         out = fn(*args)
-        jax.block_until_ready(out)
+    _sync(out)
     return (time.time() - t0) / n, out
 
 
 def main(argv=None):
     p = argparse.ArgumentParser()
-    p.add_argument("--arch", choices=("hesic", "dsic"), default="hesic")
+    p.add_argument("--arch", choices=("hesic", "dsic", "hesic-plus"),
+                   default="hesic")
     p.add_argument("--size", type=int, default=512)
     p.add_argument("--batch", type=int, default=16)
     p.add_argument("--mm", type=int, default=16)
@@ -54,6 +67,9 @@ def main(argv=None):
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:
         pass
+
+    if args.arch == "hesic-plus":
+        return profile_hesic_plus(args)
 
     from ..models import DSIC, DSICFastCodec, HESIC, HESICFastCodec
     from ..models.hesic_fast import _gmm_freq_fast, auto_ppl, pick_mm
@@ -207,6 +223,121 @@ def main(argv=None):
     for k, v in report.items():
         print(f"  {k:32s} {v * 1000:8.1f} ms")
     print(f"  {'device programs (sum)':32s} {total * 1000:8.1f} ms")
+    print(f"  roundtrip e2e: {(t_enc + t_dec) * 1000:.1f} ms "
+          f"-> {b / (t_enc + t_dec):.2f} pairs/s")
+
+
+def profile_hesic_plus(args):
+    """Per-phase breakdown of the HESIC+ wavefront device codec
+    (HESICPlusDeviceCodec): enc transforms, the shared both-eyes chain
+    (teacher and decode directions), the two Mosaic pairs encoders, the
+    batched host fetch, host EB z coding, and the dec-only output —
+    mirroring the call sequence of ar_device.py compress/decompress."""
+    import os
+    import sys
+
+    from ..models import HESICPlus, HESICPlusCodec, HESICPlusDeviceCodec
+    from ..models.ar_device import schedule, wavefront_valid_mask
+
+    b, hw = args.batch, args.size
+    dtype = jnp.bfloat16 if args.bf16 else None
+    rng = np.random.RandomState(0)
+    module = HESICPlus(N=192, M=192, dtype=dtype)
+    if args.calib_steps > 0:
+        sys.path.insert(0, os.getcwd())
+        from bench import _calibrate
+        params = _calibrate(module, rng, args.calib_steps)
+        base = HESICPlusCodec(module, params)
+    else:
+        base = HESICPlusCodec.init(
+            module, [(1, hw, hw, 3), (1, hw, hw, 3), (1, 3, 3)])
+    base.update()
+    codec = HESICPlusDeviceCodec(base, mm=args.mm)
+
+    # correlated stereo pairs exactly like the bench (uncorrelated eyes
+    # blow the cross-eye-conditioned y2 payload to ~1.5 bpp and distort
+    # every stream/coding phase)
+    sys.path.insert(0, os.getcwd())
+    from bench import _smooth_pair
+    xs = [_smooth_pair(rng, hw) for _ in range(b)]
+    x1 = jnp.asarray(np.concatenate([p[0] for p in xs]))
+    x2 = jnp.asarray(np.concatenate([p[1] for p in xs]))
+    h = jnp.tile(jnp.eye(3, dtype=jnp.float32)[None], (b, 1, 1))
+    hy, wy = hw // 16, hw // 16
+    m = codec.w1.ctx_kernel.shape[2]
+    cap = codec.cap
+    params = base.params
+
+    report = {}
+    t, enc = _time(lambda: codec._enc_transforms()(params, x1, x2, h))
+    report["enc_transforms"] = t
+    y1, y2, z1_sym, z2_sym = enc
+
+    lanes = codec._lanes(b, hy, wy)
+    zw = jnp.zeros((lanes, cap), jnp.int32)
+    zl = jnp.zeros((lanes,), jnp.int32)
+    zs = zl.astype(jnp.uint32)
+    zi = jnp.zeros((b, hy, wy, m), jnp.int32)
+    chain = codec._chain()
+    t, tout = _time(lambda: chain(
+        params, z1_sym, z2_sym, y1, y2, zw, zl, zs, zw, zl, zs,
+        zi, zi, zi, zi, h, jnp.bool_(True)))
+    report["chain (teacher: 2x wavefront)"] = t
+    s1, f1, s2, f2, y1_hat, y2_hat, x1_hat, r1, r2, n1_d, n2_d = tout
+
+    valid = wavefront_valid_mask(hy, wy, b, codec.groups, m)
+    t, p1 = _time(codec._dispatch_pairs, s1, f1, valid, cap)
+    report["pairs_encode(y1)"] = t
+    t, p2 = _time(codec._dispatch_pairs, s2, f2, valid, cap)
+    report["pairs_encode(y2)"] = t
+    wo1, c1_d, st1 = p1
+    wo2, c2_d, st2 = p2
+
+    t0 = time.time()
+    fetched = jax.device_get((z1_sym, z2_sym, wo1, c1_d, st1,
+                              wo2, c2_d, st2, n1_d, n2_d))
+    report["host fetch (batched)"] = time.time() - t0
+    z1s_np, z2s_np = fetched[0], fetched[1]
+
+    from ..entropy_models.codec import compress_with_indexes
+    t0 = time.time()
+    for name, sym in (("entropy_bottleneck1", z1s_np),
+                      ("entropy_bottleneck2", z2s_np)):
+        idx = np.broadcast_to(
+            np.arange(sym.shape[-1], dtype=np.int32), sym.shape)
+        compress_with_indexes(sym, idx, base.tables[name])
+    report["host z rANS (2 eyes)"] = time.time() - t0
+
+    yzero = jnp.zeros((b, hy, wy, m), jnp.float32)
+    t, dout = _time(lambda: chain(
+        params, z1_sym, z2_sym, yzero, yzero,
+        wo1.astype(jnp.int32), c1_d.astype(jnp.int32), st1,
+        wo2.astype(jnp.int32), c2_d.astype(jnp.int32), st2,
+        zi, zi, zi, zi, h, jnp.bool_(False)))
+    report["chain (decode: 2x wavefront)"] = t
+    t, _ = _time(codec._dec_out(), params, dout[5], dout[6], h)
+    report["dec_out (synthesis2)"] = t
+
+    out = codec.compress(x1, x2, h)
+    rec = codec.decompress(out["strings"])
+    jax.block_until_ready(rec["x2_hat"])
+    t0 = time.time()
+    for _ in range(4):
+        out = codec.compress(x1, x2, h)
+    t_enc = (time.time() - t0) / 4
+    report["compress e2e"] = t_enc
+    t0 = time.time()
+    for _ in range(4):
+        rec = codec.decompress(out["strings"])
+        jax.block_until_ready(rec["x2_hat"])
+    t_dec = (time.time() - t0) / 4
+    report["decompress e2e"] = t_dec
+
+    print(f"\nHESIC-PLUS device codec profile  size={hw} batch={b} "
+          f"mm={args.mm} groups={codec.groups} cap={cap} "
+          f"bf16={bool(args.bf16)} bpp_real={out['bpp_real']:.4f}")
+    for k, v in report.items():
+        print(f"  {k:32s} {v * 1000:8.1f} ms")
     print(f"  roundtrip e2e: {(t_enc + t_dec) * 1000:.1f} ms "
           f"-> {b / (t_enc + t_dec):.2f} pairs/s")
 

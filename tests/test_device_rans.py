@@ -298,3 +298,69 @@ class TestPallasPairsEncoder:
         mask = np.arange(cap_x) < np.asarray(c_x)[:, None]
         np.testing.assert_array_equal(
             np.asarray(w_p)[:, :cap_x][mask], np.asarray(w_x)[mask])
+
+
+class TestDenseStream:
+    """Device-side compaction (compact_stream/expand_stream) and the
+    dense container framing must be byte-identical to the padded
+    pack_stream path it replaces."""
+
+    def _case(self, seed, lanes, cap):
+        rng = np.random.RandomState(seed)
+        counts = rng.randint(0, cap + 1, size=lanes).astype(np.int64)
+        words = np.zeros((lanes, cap), np.int32)
+        for i, c in enumerate(counts):
+            words[i, :c] = rng.randint(0, 1 << 16, size=int(c))
+        states = rng.randint(0, 1 << 31, size=lanes).astype(np.uint32)
+        return words, counts, states
+
+    @pytest.mark.parametrize("lanes,cap", [(64, 37), (128, 256), (3, 1)])
+    def test_bytes_match_padded_path(self, lanes, cap):
+        from hesic_tpu.codecs.device_rans import (compact_stream,
+                                                  pack_stream_dense,
+                                                  pow2_bucket)
+        words, counts, states = self._case(11 + lanes, lanes, cap)
+        bucket = pow2_bucket(int(counts.sum()))
+        flat = np.asarray(compact_stream(
+            jnp.asarray(words), jnp.asarray(counts.astype(np.int32)),
+            bucket))
+        blob = pack_stream_dense(flat, counts, states)
+        assert blob == pack_stream(words, counts, states)
+
+    @pytest.mark.parametrize("lanes,cap", [(64, 37), (128, 256)])
+    def test_expand_inverts_compact(self, lanes, cap):
+        from hesic_tpu.codecs.device_rans import (compact_stream,
+                                                  expand_stream,
+                                                  pow2_bucket,
+                                                  unpack_stream_dense,
+                                                  pack_stream_dense)
+        words, counts, states = self._case(5 + cap, lanes, cap)
+        bucket = pow2_bucket(int(counts.sum()))
+        flat = np.asarray(compact_stream(
+            jnp.asarray(words), jnp.asarray(counts.astype(np.int32)),
+            bucket))
+        blob = pack_stream_dense(flat, counts, states)
+        f2, c2, s2, off = unpack_stream_dense(blob)
+        assert off == len(blob)
+        np.testing.assert_array_equal(c2, counts)
+        np.testing.assert_array_equal(s2, states)
+        fp = np.zeros(pow2_bucket(f2.size), np.uint16)
+        fp[:f2.size] = f2
+        back = np.asarray(expand_stream(
+            jnp.asarray(fp), jnp.asarray(c2.astype(np.int32)), cap))
+        mask = np.arange(cap) < counts[:, None]
+        np.testing.assert_array_equal(back[mask], words[mask])
+        assert (back[~mask] == 0).all()
+
+    def test_zero_counts_lane(self):
+        from hesic_tpu.codecs.device_rans import (compact_stream,
+                                                  pack_stream_dense,
+                                                  pow2_bucket)
+        words = np.zeros((4, 8), np.int32)
+        counts = np.zeros(4, np.int64)
+        states = np.arange(4, dtype=np.uint32)
+        flat = np.asarray(compact_stream(
+            jnp.asarray(words), jnp.asarray(counts.astype(np.int32)),
+            pow2_bucket(1)))
+        blob = pack_stream_dense(flat, counts, states)
+        assert blob == pack_stream(words, counts, states)
