@@ -295,6 +295,11 @@ def bench_hesic_plus_device():
     n_batches = int(os.environ.get("BENCH_BATCHES", "4"))
     mm = int(os.environ.get("BENCH_MM", "16"))
     groups = int(os.environ.get("BENCH_GROUPS", "8"))
+    # word-buffer cap: the wavefront kernel's per-level word read is a
+    # one-hot sum over the cap axis, so decode cost scales linearly with
+    # cap.  Calibrated payloads run ~12 words/lane mean; 64 leaves
+    # headroom and the encoder retry-doubles on pathological overflow.
+    cap = int(os.environ.get("BENCH_CAP", "64"))
     rng = np.random.RandomState(0)
 
     calib_steps = int(os.environ.get("BENCH_CALIB_STEPS", "60"))
@@ -308,7 +313,7 @@ def bench_hesic_plus_device():
         base = HESICPlusCodec.init(
             module, [(1, hw, hw, 3), (1, hw, hw, 3), (1, 3, 3)])
     base.update()
-    codec = HESICPlusDeviceCodec(base, mm=mm, groups=groups)
+    codec = HESICPlusDeviceCodec(base, mm=mm, groups=groups, cap=cap)
 
     xs = [_smooth_pair(rng, hw) for _ in range(batch)]
     x1 = jnp.asarray(np.concatenate([p[0] for p in xs]))

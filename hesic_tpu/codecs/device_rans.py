@@ -28,6 +28,7 @@ bitstreams, equivalent rate, power-of-two totals for rANS.
 
 from __future__ import annotations
 
+import os
 from functools import partial
 
 import jax
@@ -282,6 +283,49 @@ def unpack_counts(blob: bytes, offset: int, lanes: int):
     return counts, offset
 
 
+# Padded word buffers smaller than this cross the link as-is: the
+# device-side compact/expand programs each cost a synchronous dispatch
+# (~27 ms through the axon tunnel), which only pays for itself once the
+# padding waste exceeds a couple of MB (measured: HESIC+ batch-11 6 MB
+# padded / 0.7 MB dense -> +9 pairs/s; mbt2018 batch-11 0.6 MB padded
+# -> the two extra dispatches LOST ~7 img/s).
+DENSE_LINK_THRESHOLD = int(
+    os.environ.get("HESIC_DENSE_LINK_THRESHOLD", str(2 << 20)))
+
+
+def pack_stream_auto(words_dev, counts, states) -> bytes:
+    """Serialize an interleaved stream from a DEVICE word buffer,
+    picking the cheaper link strategy: device compaction + dense fetch
+    for large padded buffers, plain padded fetch otherwise.  Bytes are
+    identical either way (== ``pack_stream``)."""
+    lanes, cap = words_dev.shape
+    if lanes * cap * 4 > DENSE_LINK_THRESHOLD:
+        bucket = pow2_bucket(int(counts.sum()))
+        flat = np.asarray(compact_stream(
+            words_dev, jnp.asarray(np.asarray(counts).astype(np.int32)),
+            bucket))
+        return pack_stream_dense(flat, counts, states)
+    return pack_stream(np.asarray(words_dev), counts, states)
+
+
+def upload_words_auto(flat, counts, cap: int):
+    """Inverse link step at decode: build the padded (lanes, cap) int32
+    device buffer from a dense u16 payload, expanding ON DEVICE when the
+    padded buffer is large (dense upload + gather) and on host
+    otherwise (one plain upload, no extra dispatch)."""
+    lanes = counts.shape[0]
+    if lanes * cap * 4 > DENSE_LINK_THRESHOLD:
+        bucket = pow2_bucket(flat.size)
+        fp = np.zeros(bucket, np.uint16)
+        fp[:flat.size] = flat
+        return expand_stream(jnp.asarray(fp),
+                             jnp.asarray(counts.astype(np.int32)), cap)
+    words = np.zeros((lanes, cap), np.int32)
+    mask = np.arange(cap) < counts.astype(np.int64)[:, None]
+    words[mask] = flat
+    return jnp.asarray(words)
+
+
 def pow2_bucket(n: int, lo: int = 4096) -> int:
     """Power-of-two size bucket for dense-stream device buffers, so the
     compact/expand programs compile once per bucket (cached) instead of
@@ -301,17 +345,22 @@ def compact_stream(words, counts, bucket: int):
     zeros at ~35 MB/s), vs ~0.7 MB dense.
 
     Exact inverse of ``expand_words``: byte-identical to the
-    ``pack_stream`` host masking it replaces."""
+    ``pack_stream`` host masking it replaces.  Formulated as a GATHER
+    (searchsorted over the count prefix sums + take), not a scatter —
+    XLA lowers TPU scatters without uniqueness guarantees to a serial
+    loop."""
     lanes, cap = words.shape
     counts = counts.astype(jnp.int32)
-    offs = jnp.cumsum(counts) - counts                  # exclusive
-    j = jax.lax.broadcasted_iota(jnp.int32, (lanes, cap), 1)
-    valid = j < counts[:, None]
-    pos = jnp.where(valid, offs[:, None] + j, bucket)   # invalid -> sink
-    dense = jnp.zeros((bucket + 1,), jnp.uint16)
-    dense = dense.at[pos.reshape(-1)].set(
-        words.reshape(-1).astype(jnp.uint16))
-    return dense[:bucket]
+    cum = jnp.cumsum(counts)
+    total = cum[lanes - 1]
+    k = jnp.arange(bucket, dtype=jnp.int32)
+    lane = jnp.minimum(
+        jnp.searchsorted(cum, k, side="right").astype(jnp.int32),
+        lanes - 1)
+    slot = k - (cum[lane] - counts[lane])
+    src = lane * cap + jnp.clip(slot, 0, cap - 1)
+    vals = jnp.take(words.reshape(-1), src)
+    return jnp.where(k < total, vals, 0).astype(jnp.uint16)
 
 
 @partial(jax.jit, static_argnames=("cap",))

@@ -431,14 +431,10 @@ class JointAutoregressiveDeviceCodec:
         else:
             idx = np.zeros(0, np.uint32)
             vals = np.zeros(0, np.int32)
-        from ..codecs.device_rans import (compact_stream,
-                                          pack_stream_dense, pow2_bucket)
-        # dense u16 payload: device compaction instead of fetching the
-        # padded (lanes, cap) int32 buffer over the link
+        from ..codecs.device_rans import pack_stream_auto
+        # word payload crosses the link densely only when the padded
+        # buffer is large (see DENSE_LINK_THRESHOLD)
         states_np = np.asarray(states)
-        bucket = pow2_bucket(int(counts.sum()))
-        flat = np.asarray(compact_stream(
-            words, jnp.asarray(counts.astype(np.int32)), bucket))
         blob = bytearray()
         blob += bytes([wavefront_backend_id()])
         blob += np.array([x.shape[0], x.shape[1], x.shape[2],
@@ -448,7 +444,7 @@ class JointAutoregressiveDeviceCodec:
         blob += vals.tobytes()
         for s in z_strings:
             blob += np.array([len(s)], np.uint32).tobytes() + s
-        blob += pack_stream_dense(flat, counts, states_np)
+        blob += pack_stream_auto(words, counts, states_np)
         num_pixels = x.shape[0] * x.shape[1] * x.shape[2]
         return {"strings": [bytes(blob)], "shape": tuple(z.shape[1:3]),
                 "y_hat": y_hat,
@@ -477,20 +473,18 @@ class JointAutoregressiveDeviceCodec:
             off += 4
             z_strings.append(blob[off:off + int(length)])
             off += int(length)
-        from ..codecs.device_rans import (expand_stream, pow2_bucket,
-                                          unpack_stream_dense)
+        from ..codecs.device_rans import (unpack_stream_dense,
+                                          upload_words_auto)
         flat, counts, states, off = unpack_stream_dense(blob, off)
-        # pow2 word cap: bounds both the upload (dense payload only)
-        # and the number of distinct decode-program shapes (the old
-        # exact-max padding recompiled per payload)
-        cap = 256
-        while cap < max(int(counts.max()), 1):
-            cap *= 2
-        bucket = pow2_bucket(flat.size)
-        fp = np.zeros(bucket, np.uint16)
-        fp[:flat.size] = flat
-        words = expand_stream(jnp.asarray(fp),
-                             jnp.asarray(counts.astype(np.int32)), cap)
+        # 16-word cap granularity: the wavefront kernel's per-level word
+        # read is a one-hot sum over the cap axis (pallas_wavefront.py),
+        # so decode cost scales LINEARLY with cap — a pow2-min-256 cap
+        # measured 29.7 -> 19.8 img/s on the batch-11 bench.  16-word
+        # buckets keep the cap within 15 of the payload max while still
+        # bounding distinct decode-program shapes (vs the old exact-max
+        # padding, which recompiled per payload).
+        cap = max(16, -(-int(counts.max()) // 16) * 16)
+        words = upload_words_auto(flat, counts, cap)
 
         hy, wy = h_img // 16, w_img // 16
         z_hat = base.eb_decompress("entropy_bottleneck", z_strings,
@@ -737,7 +731,6 @@ class HESICPlusDeviceCodec:
 
     def compress(self, x1, x2, h_matrix):
         import time
-        from ..codecs.device_rans import pack_stream_dense
         from ..entropy_models.codec import compress_with_indexes
         start = time.time()
         base = self.base
@@ -784,13 +777,27 @@ class HESICPlusDeviceCodec:
         wo2, c2, st2_np = self._retry_overflow(
             s2, f2, valid, cap, wo2, c2, st2_np)
 
-        # stage-2: dense u16 payloads (device compaction, one fetch)
-        from ..codecs.device_rans import compact_stream, pow2_bucket
-        b1 = pow2_bucket(int(c1.sum()))
-        b2 = pow2_bucket(int(c2.sum()))
-        flat1, flat2 = jax.device_get(
-            (compact_stream(wo1, jnp.asarray(c1.astype(np.int32)), b1),
-             compact_stream(wo2, jnp.asarray(c2.astype(np.int32)), b2)))
+        # stage-2: word payloads, one batched fetch for both eyes —
+        # compacted on device to dense u16 when the padded buffers are
+        # large (see DENSE_LINK_THRESHOLD), padded otherwise
+        from ..codecs.device_rans import (DENSE_LINK_THRESHOLD,
+                                          compact_stream, pack_stream,
+                                          pack_stream_dense, pow2_bucket)
+        use_dense = 4 * (wo1.shape[0] * wo1.shape[1]
+                         + wo2.shape[0] * wo2.shape[1]) \
+            > 2 * DENSE_LINK_THRESHOLD
+        if use_dense:
+            b1 = pow2_bucket(int(c1.sum()))
+            b2 = pow2_bucket(int(c2.sum()))
+            flat1, flat2 = jax.device_get(
+                (compact_stream(wo1, jnp.asarray(c1.astype(np.int32)), b1),
+                 compact_stream(wo2, jnp.asarray(c2.astype(np.int32)), b2)))
+            stream1 = pack_stream_dense(flat1, c1, st1_np)
+            stream2 = pack_stream_dense(flat2, c2, st2_np)
+        else:
+            w1_np, w2_np = jax.device_get((wo1, wo2))
+            stream1 = pack_stream(w1_np, c1, st1_np)
+            stream2 = pack_stream(w2_np, c2, st2_np)
 
         # host EB coding of the z symbols (CDF tables, C++ rANS)
         z_strings = []
@@ -816,8 +823,8 @@ class HESICPlusDeviceCodec:
             for s in strs:
                 blob += np.array([len(s)], np.uint32).tobytes() + s
         blob += np.asarray(h_matrix, np.float32).tobytes()
-        blob += pack_stream_dense(flat1, c1, st1_np)
-        blob += pack_stream_dense(flat2, c2, st2_np)
+        blob += stream1
+        blob += stream2
         num_pixels = 2 * b * x1.shape[1] * x1.shape[2]
         return {"strings": [bytes(blob)], "shape": (hy, wy),
                 "y1_hat": y1_hat, "y2_hat": y2_hat,
@@ -849,8 +856,8 @@ class HESICPlusDeviceCodec:
 
     def decompress(self, strings):
         import time
-        from ..codecs.device_rans import (expand_stream, pow2_bucket,
-                                          unpack_stream_dense)
+        from ..codecs.device_rans import (unpack_stream_dense,
+                                          upload_words_auto)
         from ..entropy_models.codec import decompress_with_indexes
         start = time.time()
         base = self.base
@@ -888,11 +895,7 @@ class HESICPlusDeviceCodec:
             cap *= 2
 
         def pad(flat, c):
-            bucket = pow2_bucket(flat.size)
-            fp = np.zeros(bucket, np.uint16)
-            fp[:flat.size] = flat
-            return expand_stream(jnp.asarray(fp),
-                                jnp.asarray(c.astype(np.int32)), cap)
+            return upload_words_auto(flat, c, cap)
 
         # raw z symbols: the chain itself rebuilds z_hat = sym + median
         z_syms = []
