@@ -58,8 +58,11 @@ def build(force: bool = False) -> str:
     base = _DBG_FLAGS if _is_debug() else _CXX_FLAGS
     if force or _needs_build(lib):
         cxx = os.environ.get("CXX", "g++")
+        # pid-unique temp + atomic rename: concurrent first-import builds
+        # (e.g. two pytest/tool processes) must not race on one .tmp
+        tmp = f"{lib}.{os.getpid()}.tmp"
         for arch in (_ARCH_FLAGS, []):
-            cmd = [cxx, *base, *arch, SRC, "-o", lib + ".tmp"]
+            cmd = [cxx, *base, *arch, SRC, "-o", tmp]
             try:
                 subprocess.run(cmd, check=True, capture_output=True,
                                text=True)
@@ -67,5 +70,5 @@ def build(force: bool = False) -> str:
             except subprocess.CalledProcessError:
                 if not arch:  # even the portable flags failed
                     raise
-        os.replace(lib + ".tmp", lib)
+        os.replace(tmp, lib)
     return lib

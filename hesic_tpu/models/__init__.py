@@ -7,6 +7,7 @@ from .hesic_codec import HESICCodec, HESICTogetherCodec
 from .hesic_fast import HESICFastCodec
 from .hesic_plus import (HESICPlus, HESICPlusCodec,
                          HESICPlusTogether, HESICPlusTogetherCodec)
+from .hesic_plus_refcodec import HESICPlusRefCodec
 from .dsic import (DSIC, DSICPlus, IndependentEnhancementNoWarp, CostVolume,
                    GlobalContext, dense_warp)
 from .dsic_codec import DSICCodec, DSICPlusCodec
@@ -37,6 +38,7 @@ __all__ = [
     "HESICTogetherCodec",
     "HESICPlus",
     "HESICPlusCodec",
+    "HESICPlusRefCodec",
     "HESICPlusTogether",
     "HESICPlusTogetherCodec",
     "DSIC",
