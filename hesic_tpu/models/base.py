@@ -124,12 +124,17 @@ class CompressionModel:
         """Real-coder compress through the named entropy bottleneck.
 
         z: (B, h, w, C) array.  Reference: entropy_models.py:413-423.
+        Symbols are emitted CHANNEL-major (the reference flattens NCHW),
+        so our z streams are byte-identical to — and cross-decodable
+        with — the reference's at equal symbols.
         """
         z = np.asarray(z)
         medians = self.eb_medians(name)
         symbols = np.round(z - medians).astype(np.int32)
+        symbols = np.ascontiguousarray(symbols.transpose(0, 3, 1, 2))
         indexes = np.broadcast_to(
-            np.arange(z.shape[-1], dtype=np.int32), z.shape)
+            np.arange(z.shape[-1], dtype=np.int32)[:, None, None],
+            symbols.shape)
         return compress_with_indexes(symbols, indexes, self.tables[name])
 
     def eb_decompress(self, name: str, strings: list[bytes],
@@ -137,26 +142,34 @@ class CompressionModel:
         h, w = int(spatial_shape[0]), int(spatial_shape[1])
         medians = self.eb_medians(name)
         c = medians.shape[0]
-        shape = (len(strings), h, w, c)
-        indexes = np.broadcast_to(np.arange(c, dtype=np.int32), shape)
+        shape = (len(strings), c, h, w)      # reference NCHW symbol order
+        indexes = np.broadcast_to(
+            np.arange(c, dtype=np.int32)[:, None, None], shape)
         symbols = decompress_with_indexes(strings, indexes, self.tables[name])
+        symbols = symbols.transpose(0, 2, 3, 1)
         return jnp.asarray(symbols.astype(np.float32) + medians)
 
     def gc_compress(self, name: str, y, indexes, means=None) -> list[bytes]:
-        """Gaussian-conditional compress given prebuilt scale-table indexes."""
+        """Gaussian-conditional compress given prebuilt scale-table
+        indexes.  y/indexes/means: (B, h, w, C); symbols emitted
+        channel-major (reference NCHW flatten order)."""
         y = np.asarray(y)
         if means is not None:
             symbols = np.round(y - np.asarray(means)).astype(np.int32)
         else:
             symbols = np.round(y).astype(np.int32)
-        return compress_with_indexes(symbols, np.asarray(indexes),
-                                     self.tables[name])
+        symbols = np.ascontiguousarray(symbols.transpose(0, 3, 1, 2))
+        indexes = np.ascontiguousarray(
+            np.asarray(indexes).transpose(0, 3, 1, 2))
+        return compress_with_indexes(symbols, indexes, self.tables[name])
 
     def gc_decompress(self, name: str, strings: list[bytes], indexes,
                       means=None) -> jnp.ndarray:
-        symbols = decompress_with_indexes(strings, np.asarray(indexes),
+        indexes = np.ascontiguousarray(
+            np.asarray(indexes).transpose(0, 3, 1, 2))
+        symbols = decompress_with_indexes(strings, indexes,
                                           self.tables[name])
-        out = symbols.astype(np.float32)
+        out = symbols.transpose(0, 2, 3, 1).astype(np.float32)
         if means is not None:
             out = out + np.asarray(means)
         return jnp.asarray(out)
