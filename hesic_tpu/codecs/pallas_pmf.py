@@ -31,6 +31,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .det_math import det_qscale, det_recip, det_std_cdf, det_steal
+
 _TOTAL = 1 << 16
 
 # A&S 7.1.26 coefficients
@@ -53,48 +55,54 @@ def _std_cdf(x):
     return jnp.where(x >= 0, 1.0 - 0.5 * erfc_z, 0.5 * erfc_z)
 
 
-def _roll_sum(v, axis):
-    """Inclusive prefix-sum along `axis` via Hillis-Steele doubling."""
-    n = v.shape[axis]
-    idx = jax.lax.broadcasted_iota(jnp.int32, v.shape, axis)
-    d = 1
-    while d < n:
-        v = v + jnp.where(idx >= d, pltpu.roll(v, d, axis=axis), 0)
-        d *= 2
-    return v
-
-
 def _pmf_kernel(cen_ref, mu_ref, sc_ref, w_ref, freq_ref, pmf_s,
-                *, mm):
+                *, mm, k):
     mu = mu_ref[0]                              # (K, Mt, Ht)
     sc = sc_ref[0]
     wgt = w_ref[0]                              # (K, Mt, Ht) or (K, Mt, 1)
     center = cen_ref[0].astype(jnp.float32)     # (Mt, 1)
 
-    inv_sc = 1.0 / sc
+    # deterministic reciprocal/CDF (det_math): the same traced ops run in
+    # the plain-XLA path, and Mosaic/XLA:TPU execute them bit-identically
+    # (measured 0/2M mismatches) — the basis for the format-v2 container
+    # having no backend byte
+    inv_sc = det_recip(sc)
     s_dim = 2 * mm + 1
 
     def edge_cdf(s):
         e = (float(s - mm) - 0.5) + center[None, :, :]   # (1, Mt, 1)
-        return _std_cdf((e - mu) * inv_sc)               # (K, Mt, Ht)
+        return det_std_cdf((e - mu) * inv_sc)            # (K, Mt, Ht)
 
+    # reduction orders are part of the format: mixture sum unrolled in
+    # ascending k, total accumulated in ascending s (mirrored exactly by
+    # models/hesic_fast._gmm_freq_fast)
+    total = None
     prev = edge_cdf(0)
     for s in range(1, s_dim + 1):
         cur = edge_cdf(s)
-        pmf_s[:, s - 1, :] = jnp.maximum(
-            jnp.sum((cur - prev) * wgt, axis=0), 0.0)    # (Mt, hw)
+        diff = (cur - prev) * wgt
+        acc = diff[0]
+        for kk in range(1, k):
+            acc = acc + diff[kk]
+        p_s = jnp.maximum(acc, 0.0)                      # (Mt, Ht)
+        pmf_s[:, s - 1, :] = p_s
+        total = p_s if total is None else total + p_s
         prev = cur
 
     pmf = pmf_s[...]                            # (Mt, S, Ht)
-    total = jnp.sum(pmf, axis=1, keepdims=True)
-    ideal = pmf / jnp.maximum(total, 1e-30) * float(_TOTAL)
-    freq = jnp.maximum(jnp.floor(ideal), 1.0).astype(jnp.int32)
-    deficit = _TOTAL - jnp.sum(freq, axis=1, keepdims=True)
-    # first-argmax mask (ties broken toward lower s, like jnp.argmax)
-    mx = jnp.max(freq, axis=1, keepdims=True)
-    ismax = (freq == mx).astype(jnp.int32)
-    first = (ismax != 0) & (_roll_sum(ismax, 1) == 1)
-    freq_ref[0] = freq + jnp.where(first, deficit, 0)
+    qscale = det_qscale(total)[:, None, :]
+    # The kernel emits the RAW floored rows; the deficit steal happens
+    # OUTSIDE in gmm_freq_pallas on the materialized kernel output.
+    # Rationale: the steal needs two reads of freq (sum + argmax), and
+    # when the float chain above gets rematerialized per consumer with
+    # different FMA contraction (XLA:CPU / interpreter CI — in-kernel
+    # optimization_barrier, scratch round-trips, and single-trip loops
+    # were all functionalized away, measured r4), the two reads can
+    # disagree and silently break the sum-to-65536 invariant.  A kernel
+    # *output* is a real buffer, and the steal itself is integer-only
+    # (det_math.det_steal) — recomputation-safe by construction.
+    freq_ref[0] = jnp.maximum(jnp.floor(pmf * qscale),
+                              1.0).astype(jnp.int32)
 
 
 @functools.partial(jax.jit,
@@ -161,7 +169,7 @@ def gmm_freq_pallas(sigma, means, weights, mm: int, k: int, center=None,
     w_idx = ((lambda i, j, l: (i, 0, j, l)) if spatial_w
              else (lambda i, j, l: (i, 0, j, 0)))
     freq = pl.pallas_call(
-        functools.partial(_pmf_kernel, mm=mm),
+        functools.partial(_pmf_kernel, mm=mm, k=k),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, mt, 1), lambda i, j, l: (i, j, 0),
@@ -180,4 +188,7 @@ def gmm_freq_pallas(sigma, means, weights, mm: int, k: int, center=None,
         scratch_shapes=[pltpu.VMEM((mt, s_dim, ht), jnp.float32)],
         interpret=interpret,
     )(cen[:, :, None], mu, sc, wgt)
+    # integer-only deficit steal on the materialized kernel output (see
+    # the note in _pmf_kernel); the barrier pins one copy of the buffer
+    freq = det_steal(jax.lax.optimization_barrier(freq), axis=2)
     return freq, cen

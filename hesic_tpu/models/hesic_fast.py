@@ -58,7 +58,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..codecs.device_rans import (freq_to_cdf,
-                                  pack_stream, quantize_pmf_device,
+                                  pack_stream,
                                   rans_decode_grid, rans_encode_grid,
                                   unpack_stream)
 from ..codecs.pallas_rans import (rans_decode_grid_pallas,
@@ -82,28 +82,44 @@ MM_DEFAULT = 32       # symbol grid half-width
 LANES_DEFAULT = 1024  # interleaved rANS lanes
 
 
-def _pmf_backend_id() -> int:
-    """1 = Pallas A&S-erfc PMF kernel, 0 = XLA erfc path.
+_PMF_FORMAT_V2 = 2
 
-    The two backends produce frequency tables that differ in the last
-    bits, so their streams are NOT interchangeable.  Every fast container
-    leads with this byte and decode fails loudly on a mismatch instead of
-    silently decoding wrong latents."""
-    return 1 if _use_pallas() else 0
+_TIMING = __import__("os").environ.get("HESIC_TIMING", "") == "1"
+
+
+def _tick(label: str, t0: float) -> float:
+    """HESIC_TIMING=1: print per-stage host wall times of the codec
+    paths (used to attribute the encode/decode e2e gap between device
+    programs, link transfers and host container work)."""
+    t1 = time.time()
+    if _TIMING:
+        print(f"    [host] {label:<24s} {1e3 * (t1 - t0):7.1f} ms",
+              flush=True)
+    return t1
+
+
+def _pmf_backend_id() -> int:
+    """Container format-version byte (was a backend byte through r3).
+
+    Since format v2 the PMF pipeline is backend-deterministic
+    (codecs/det_math.py): the Mosaic kernel and the plain-XLA path
+    produce bit-equal frequency tables on the same backend, so streams
+    are interchangeable between the two paths and the byte only
+    versions the quantization recipe."""
+    return _PMF_FORMAT_V2
 
 
 def _check_pmf_backend(blob: bytes) -> int:
-    """Validate the container's leading backend byte against the current
-    process; returns the number of header bytes consumed (1)."""
+    """Validate the container's format byte; returns the number of
+    header bytes consumed (1)."""
     tag = blob[0]
-    cur = _pmf_backend_id()
-    if tag != cur:
-        names = {0: "xla-erfc", 1: "pallas-erfc"}
+    if tag != _PMF_FORMAT_V2:
+        names = {0: "pre-v2 xla-erfc", 1: "pre-v2 pallas-erfc"}
         raise ValueError(
-            f"fast container was encoded with the "
-            f"{names.get(tag, f'unknown({tag})')} PMF backend but this "
-            f"process uses {names[cur]}; re-encode, or set "
-            f"HESIC_NO_PALLAS / run on the matching backend to decode")
+            f"fast container has PMF format "
+            f"{names.get(tag, f'unknown({tag})')} but this build reads "
+            f"format v2 (deterministic PMF pipeline); re-encode with "
+            f"this build")
     return 1
 
 
@@ -172,11 +188,24 @@ def _gmm_freq_fast(sigma, means, weights, mm: int, k: int, center=None):
     edges = (jnp.arange(-mm, mm + 2, dtype=jnp.float32) - 0.5)
     edges = edges.reshape(1, 1, 1, -1, 1)          # (1,1,1,S+1,1)
     edges = edges + center_f.reshape(b, 1, m, 1, 1)
-    from ..entropy_models import standardized_cumulative
-    cdf = standardized_cumulative((edges - mu) / sc)  # (B,K,M,S+1,hw)
-    pmf = cdf[:, :, :, 1:] - cdf[:, :, :, :-1]        # (B,K,M,S,hw)
-    pmf = jnp.sum(pmf * wgt, axis=1)                  # (B,M,S,hw)
-    freq = quantize_pmf_device(pmf, axis=2)
+    # deterministic pipeline mirroring codecs/pallas_pmf._pmf_kernel op
+    # for op (det CDF/reciprocal, mixture sum unrolled ascending k,
+    # total accumulated ascending s) so the two backends' frequency
+    # tables are bit-equal — the format-v2 invariant
+    from ..codecs.det_math import (det_freq_rows, det_qscale, det_recip,
+                                   det_std_cdf)
+    inv_sc = det_recip(sc)
+    cdf = det_std_cdf((edges - mu) * inv_sc)          # (B,K,M,S+1,hw)
+    diff = (cdf[:, :, :, 1:] - cdf[:, :, :, :-1]) * wgt
+    acc = diff[:, 0]
+    for kk in range(1, k):
+        acc = acc + diff[:, kk]
+    pmf = jnp.maximum(acc, 0.0)                       # (B,M,S,hw)
+    total = pmf[:, :, 0]
+    for si in range(1, pmf.shape[2]):
+        total = total + pmf[:, :, si]
+    qscale = det_qscale(total)[:, :, None, :]
+    freq = det_freq_rows(pmf, qscale, axis=2)
     return jax.lax.optimization_barrier(
         (freq, center_f.astype(jnp.int32)))
 
@@ -796,8 +825,10 @@ class HESICFastCodec(HESICCodec):
         # tiny sync: residual spreads pick the per-eye grid-width bucket,
         # data centers ride the container as i8 (like the reference's
         # per-image minmax, newnet1.py:873-906)
+        t = _tick("enc/dispatch-transforms", start)
         sp1_np, sp2_np, dc1_np, dc2_np = jax.device_get(
             (sp1, sp2, dc1, dc2))
+        t = _tick("enc/spread-sync", t)
         mm1 = pick_mm(int(sp1_np), self.mm)
         mm2 = pick_mm(int(sp2_np), self.mm)
         cen1 = self._place(jnp.asarray(dc1_np))
@@ -816,9 +847,11 @@ class HESICFastCodec(HESICCodec):
             # one sync for the counts (sets the word capacity) + outlier
             # totals; everything else follows packed into a single
             # int32 vector
+            t = _tick("enc/dispatch-streams", t)
             counts_both, over_np, dead_np = jax.device_get(
                 (jnp.stack([s1[1], s2[1]]), jnp.stack([s1[3], s2[3]]),
                  jnp.stack([s1[4], s2[4]])))
+            t = _tick("enc/counts-sync", t)
             c1, c2 = counts_both[0], counts_both[1]
             dead1_np, dead2_np = dead_np[0], dead_np[1]
             if cap is None or max(int(c1.max()), int(c2.max())) <= cap:
@@ -828,10 +861,12 @@ class HESICFastCodec(HESICCodec):
         lanes = s1[1].shape[1]  # = y_h * y_w // ppl
         outliers1 = self._collect_outliers(y1_hat, over_np[0], cen1, mm1)
         outliers2 = self._collect_outliers(y2_hat, over_np[1], cen2, mm2)
+        t = _tick("enc/outliers", t)
         cap1 = min(_bucket_cap(int(c1.max())), s1[0].shape[1])
         cap2 = min(_bucket_cap(int(c2.max())), s2[0].shape[1])
         packed = np.asarray(self._fn("pack_outputs")(
             s1[:3], s2[:3], z1_sym, z2_sym, cap1, cap2)).view(np.uint16)
+        t = _tick("enc/packed-d2h", t)
         off = 0
 
         def take(count, shape):
@@ -864,6 +899,7 @@ class HESICFastCodec(HESICCodec):
             for name, sym in (("entropy_bottleneck1", z1_np),
                               ("entropy_bottleneck2", z2_np)))
         z_strs = list(zip(s1_list, s2_list))
+        t = _tick("enc/z-rans+unpack", t)
         num_pixels = 2 * x1.shape[1] * x1.shape[2]
 
         if batch_container:
@@ -904,6 +940,7 @@ class HESICFastCodec(HESICCodec):
                 body += st.astype(np.uint32).tobytes()
                 body += flat_words(w, c).tobytes()
             blob = bytes(header) + bytes(body)
+            _tick("enc/container", t)
             return {
                 "blobs": [blob],
                 "blob": blob,
@@ -962,6 +999,7 @@ class HESICFastCodec(HESICCodec):
                     "entropy_bottleneck2", blob[off:off + int(length)],
                     z_shape)[0])
                 off += int(length)
+        t = _tick("dec/z-rans", start)
         out1_list, out2_list = [], []
         for _ in range(b):
             o1, o2, off = self._parse_outliers(blob, off)
@@ -969,6 +1007,7 @@ class HESICFastCodec(HESICCodec):
             out2_list.append(o2)
         corr1 = self._corr_map(out1_list, y_shape)
         corr2 = self._corr_map(out2_list, y_shape)
+        t = _tick("dec/outliers-parse", t)
         dead1, dead2, off = self._parse_dead_bitmaps(blob, off, b)
         m = self.module.M
         cen1 = jnp.asarray(np.frombuffer(
@@ -1000,6 +1039,7 @@ class HESICFastCodec(HESICCodec):
 
         w1, c1, st1, off = read_stream(off)
         w2, c2, st2, off = read_stream(off)
+        t = _tick("dec/words-rebuild", t)
         z1_np = np.stack(z1_list)
         z2_np = np.stack(z2_list)
         buf = np.concatenate([
@@ -1024,6 +1064,7 @@ class HESICFastCodec(HESICCodec):
         ]
         unpack = self._unpack_fn(tuple((tuple(s), k) for s, k in specs))
         (c1d, st1d, w1d, c2d, st2d, w2d, z1_sym, z2_sym) = unpack(buf_dev)
+        _tick("dec/h2d+unpack-dispatch", t)
         return self._finish_decode(c1d, st1d, w1d, c2d, st2d, w2d, z1_sym,
                                    z2_sym, h_matrix, y_shape, start,
                                    corr1, corr2, dead1, dead2,
