@@ -28,10 +28,15 @@ from .mesh import Mesh, batch_sharding
 def sharded_codec_roundtrip(mesh: Mesh, size: int = 64,
                             batch_per_device: int = 1,
                             seed: int = 0, arch: str = "hesic") -> dict:
-    """Run one fast-codec encode+decode (`arch`: 'hesic' or 'dsic') with
+    """Run one fast-codec encode+decode (`arch`: 'hesic', 'dsic' or
+    'hesic-plus' — the last exercising the WAVEFRONT device codec) with
     the batch sharded over the mesh's data axis; assert bit-exactness
     and equality with the single-device run.  Returns summary stats."""
     from ..models import DSIC, DSICFastCodec, HESIC, HESICFastCodec
+
+    if arch == "hesic-plus":
+        return _sharded_wavefront_roundtrip(mesh, size, batch_per_device,
+                                            seed)
 
     dp = mesh.shape["data"]
     b = dp * batch_per_device
@@ -85,5 +90,67 @@ def sharded_codec_roundtrip(mesh: Mesh, size: int = 64,
     return {
         "pairs": b,
         "blob_bytes": len(out1["blob"]),
+        "bpp_real": out1["bpp_real"],
+    }
+
+
+def _sharded_wavefront_roundtrip(mesh: Mesh, size: int,
+                                 batch_per_device: int,
+                                 seed: int) -> dict:
+    """Wavefront (HESIC+) device codec under a mesh sharding.
+
+    The wavefront programs fold the batch axis into rANS lanes inside
+    the level scan, so GSPMD cannot keep the batch partitioned end to
+    end — it partitions the conv transforms over ``data`` and inserts
+    the gather collectives where the lane fold crosses the sharded
+    axis.  That is exactly what this dryrun must prove: the full
+    device-codec chain (enc transforms → both-eye wavefront → output
+    synthesis) compiles and executes SPMD, and the container bytes and
+    decoded latents are bit-identical to the single-device run (per-
+    example conv math is unchanged by batch partitioning; the coding
+    recursion is integer).  Off-TPU the wavefront runs its lax.scan
+    backend — the same op sequence the CPU CI tests pin.
+    """
+    import jax
+
+    from ..models import HESICPlus, HESICPlusCodec, HESICPlusDeviceCodec
+
+    dp = mesh.shape["data"]
+    b = dp * batch_per_device
+    rng = np.random.RandomState(seed)
+    x1 = jnp.asarray(rng.rand(b, size, size, 3), jnp.float32)
+    x2 = jnp.asarray(rng.rand(b, size, size, 3), jnp.float32)
+    h = jnp.tile(jnp.eye(3, dtype=jnp.float32)[None], (b, 1, 1))
+
+    module = HESICPlus(N=8, M=16)
+    base = HESICPlusCodec.init(
+        module, [(1, size, size, 3), (1, size, size, 3), (1, 3, 3)])
+    base.update()
+    codec = HESICPlusDeviceCodec(base, mm=8, groups=4)
+
+    # single-device baseline
+    out0 = codec.compress(x1, x2, h)
+    rec0 = codec.decompress(out0["strings"])
+
+    # sharded run: committed batch placements; jit propagates them
+    # through the fused programs (params stay replicated)
+    shard = batch_sharding(mesh)
+    out1 = codec.compress(jax.device_put(x1, shard),
+                          jax.device_put(x2, shard),
+                          jax.device_put(h, shard))
+    rec1 = codec.decompress(out1["strings"])
+
+    assert out1["strings"][0] == out0["strings"][0], (
+        "sharded wavefront encode produced different container bytes "
+        f"({len(out1['strings'][0])} vs {len(out0['strings'][0])})")
+    for key in ("y1_hat", "y2_hat"):
+        np.testing.assert_array_equal(np.asarray(rec1[key]),
+                                      np.asarray(out1[key]))
+        np.testing.assert_array_equal(np.asarray(rec1[key]),
+                                      np.asarray(rec0[key]))
+
+    return {
+        "pairs": b,
+        "blob_bytes": len(out1["strings"][0]),
         "bpp_real": out1["bpp_real"],
     }
