@@ -424,6 +424,100 @@ def bench_dsic():
     }))
 
 
+def bench_train():
+    """BENCH_MODE=train: flagship train-step throughput (VERDICT r3 #4).
+
+    Times the full jitted HESIC train step (forward + backward + Adam
+    update, the newtrain1_real.py loop's compute) at N128/M192 512², in
+    f32 and with the train CLI's --bf16 transform dtype; reports
+    steps/s, pairs/s and MFU from XLA's own cost analysis.  One JSON
+    line: bf16 is the headline (the TPU fast path), f32 rides along as
+    secondary fields with the measured speedup factor.
+    """
+    import jax
+    import jax.numpy as jnp
+    from hesic_tpu.models import HESIC
+    from hesic_tpu.training import (TrainState, make_optimizer,
+                                    make_train_step,
+                                    stereo_rate_distortion_loss)
+
+    hw = int(os.environ.get("BENCH_SIZE", "512"))
+    batch = int(os.environ.get("BENCH_BATCH", "8"))
+    n_steps = int(os.environ.get("BENCH_STEPS", "12"))
+    rng = np.random.RandomState(0)
+    xs = [_smooth_pair(rng, hw) for _ in range(batch)]
+    batch_d = {
+        "x1": jnp.asarray(np.concatenate([p[0] for p in xs])),
+        "x2": jnp.asarray(np.concatenate([p[1] for p in xs])),
+        "h": jnp.tile(jnp.eye(3, dtype=jnp.float32)[None],
+                      (batch, 1, 1)),
+    }
+
+    def loss_fn(module, params, bd, rng_key):
+        out = module.apply({"params": params}, bd["x1"], bd["x2"],
+                           bd["h"], training=True,
+                           rngs={"noise": rng_key})
+        rd = stereo_rate_distortion_loss(out, bd["x1"], bd["x2"],
+                                         lmbda=1e-2)
+        aux = module.apply({"params": params}, method="aux_loss")
+        return rd["loss"] + aux, {"bpp": rd["bpp_loss"]}
+
+    results = {}
+    for name, dtype in (("f32", None), ("bf16", jnp.bfloat16)):
+        module = HESIC(N=128, M=192, K=5, dtype=dtype)
+        params = module.init(
+            {"params": jax.random.PRNGKey(0),
+             "noise": jax.random.PRNGKey(1)},
+            batch_d["x1"][:1], batch_d["x2"][:1], batch_d["h"][:1],
+            training=True)["params"]
+        tx = make_optimizer(1e-4, 1e-3)
+        state = TrainState.create(params, tx)
+        step = make_train_step(module, tx, loss_fn)
+        key = jax.random.PRNGKey(7)
+
+        # FLOPs of the whole compiled step (fwd+bwd+update); step is
+        # already jitted by make_train_step, so lower it directly
+        cost = step.lower(state, batch_d, key).compile().cost_analysis()
+        cost = cost[0] if isinstance(cost, (list, tuple)) else cost
+        flops = float(cost.get("flops", 0.0))
+
+        key, sub = jax.random.split(key)
+        state, metrics = step(state, batch_d, sub)   # compile+warmup
+        jax.block_until_ready(metrics["loss"])
+        t0 = time.time()
+        for _ in range(n_steps):
+            key, sub = jax.random.split(key)
+            state, metrics = step(state, batch_d, sub)
+        loss = float(metrics["loss"])                # hard sync
+        elapsed = time.time() - t0
+        assert np.isfinite(loss), f"non-finite loss in {name} bench"
+        steps_per_sec = n_steps / elapsed
+        tflops = flops * steps_per_sec / 1e12
+        results[name] = {
+            "steps_per_sec": round(steps_per_sec, 4),
+            "pairs_per_sec": round(steps_per_sec * batch, 3),
+            "tflops_per_sec": round(tflops, 2),
+            "mfu_pct_bf16": round(100 * tflops / 197.0, 2),
+            "flops_per_step": flops,
+        }
+
+    bf16, f32 = results["bf16"], results["f32"]
+    print(json.dumps({
+        "metric": f"hesic_train_pairs_per_sec_{hw}px_bf16",
+        "value": bf16["pairs_per_sec"],
+        "unit": "pairs/s/chip",
+        # no reference wall-clock baseline exists for training either;
+        # report the bf16/f32 speedup of our own step as vs_baseline
+        "vs_baseline": round(bf16["steps_per_sec"]
+                             / f32["steps_per_sec"], 3),
+        "batch": batch,
+        "bf16": bf16,
+        "f32": f32,
+        "bf16_speedup": round(bf16["steps_per_sec"]
+                              / f32["steps_per_sec"], 3),
+    }))
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -445,16 +539,33 @@ def main():
     # wider safety margin) measures ~52 vs ~63 pairs/s at batch 32.
     mm = int(os.environ.get("BENCH_MM", "16"))
     use_bf16 = os.environ.get("BENCH_BF16", "1") == "1"
-    module = HESIC(N=128, M=192, K=5,
-                   dtype=jnp.bfloat16 if use_bf16 else None)
-    if calib_steps > 0:
-        params = _calibrate(module, rng, calib_steps)
+    ckpt = os.environ.get("BENCH_CKPT", "")
+    if ckpt:
+        # reference-trained weights (tools/train_ref_torch.py hesic-full
+        # -> tests/fixtures/ref_hsic_full64.pth.tar): ties payload sizes
+        # to a real reference training run instead of the seeded
+        # calibration (VERDICT r3 weak #3)
+        import torch
+
+        from hesic_tpu.utils.convert_torch import convert_state_dict
+        payload = torch.load(ckpt, map_location="cpu", weights_only=False)
+        cfg = payload.get("config", {"N": 128, "M": 192, "K": 5})
+        module = HESIC(N=cfg["N"], M=cfg["M"], K=cfg.get("K", 5),
+                       dtype=jnp.bfloat16 if use_bf16 else None)
+        params = convert_state_dict(payload["state_dict"], "hesic")
         codec = HESICFastCodec(module, params, mm=mm, codec_batch=batch)
     else:
-        codec = HESICFastCodec.init(
-            module, [(1, hw, hw, 3), (1, hw, hw, 3), (1, 3, 3)])
-        codec = HESICFastCodec(codec.module, codec.params, mm=mm,
-                               codec_batch=batch)
+        module = HESIC(N=128, M=192, K=5,
+                       dtype=jnp.bfloat16 if use_bf16 else None)
+        if calib_steps > 0:
+            params = _calibrate(module, rng, calib_steps)
+            codec = HESICFastCodec(module, params, mm=mm,
+                                   codec_batch=batch)
+        else:
+            codec = HESICFastCodec.init(
+                module, [(1, hw, hw, 3), (1, hw, hw, 3), (1, 3, 3)])
+            codec = HESICFastCodec(codec.module, codec.params, mm=mm,
+                                   codec_batch=batch)
     codec.update()
 
     h = jnp.tile(jnp.eye(3, dtype=jnp.float32)[None], (batch, 1, 1))
@@ -494,6 +605,8 @@ def main():
         "value": round(pairs_per_sec, 3),
         "unit": "pairs/s/chip",
         "vs_baseline": round(pairs_per_sec / BASELINE_PAIRS_PER_SEC, 3),
+        "bpp_real": round(float(out["bpp_real"]), 4),
+        **({"ckpt": os.path.basename(ckpt)} if ckpt else {}),
         **extra,
     }))
 
@@ -509,5 +622,7 @@ if __name__ == "__main__":
         bench_hesic_plus_device()
     elif _mode == "dsic":
         bench_dsic()
+    elif _mode == "train":
+        bench_train()
     else:
         main()
