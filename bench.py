@@ -598,7 +598,11 @@ def main():
     # MFU from XLA's own cost analysis of the codec programs (compiles
     # hit the persistent cache — the same shapes just ran).  v5e peak:
     # 197 bf16 TFLOP/s.
-    extra = _mfu_fields(codec, hw, pairs_per_sec)
+    # FLOPs at the warp window the bench actually ran (identity H ->
+    # win=16; win=64 would overcount the warp and inflate MFU)
+    from hesic_tpu.geometry.fast_warp import pick_warp_win
+    extra = _mfu_fields(codec, hw, pairs_per_sec,
+                        win=pick_warp_win(np.asarray(h), hw, hw))
 
     print(json.dumps({
         "metric": f"stereo_pairs_per_sec_{hw}px_encdec",

@@ -28,6 +28,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 def _coords(m, h_out, w_out):
@@ -44,6 +45,53 @@ def _coords(m, h_out, w_out):
     pz = mi[:, 2, 0] * xs + mi[:, 2, 1] * ys + mi[:, 2, 2]
     pz = jnp.where(jnp.abs(pz) < 1e-8, 1e-8, pz)
     return px / pz, py / pz  # sx, sy (B, Ho, Wo)
+
+
+def pick_warp_win(m_np, h_out: int, w_out: int,
+                  rows_per_block: int = 8,
+                  choices=(16, 32, 64), margin: int = 4) -> int:
+    """Host-side static window choice for ``warp_perspective_mxu``.
+
+    The x-contraction carries ``win`` source rows through the MXU per
+    output block, so the kernel's FLOPs scale linearly with ``win`` —
+    64 is ~32x the 2 bilinear taps actually needed for near-rectified
+    homographies (the HESIC stereo case).  This measures the real
+    per-block vertical spread of the source rows on a coarse column
+    grid (every 32nd column + the last, all rows, f64 numpy) and picks
+    the smallest window bucket that covers it plus a safety margin.
+
+    Deterministic by construction: pure f64 numpy on the container's
+    f32 H bytes, so encoder and decoder always select the same compiled
+    program — the shared-executable bit-exactness invariant holds for
+    every choice, and an undersized window only ever degrades quality
+    (taps masked to zero, counted by the kernel's overflow output),
+    never codec correctness.
+    """
+    m = np.asarray(m_np, np.float64).reshape(-1, 3, 3)
+    mi = np.linalg.inv(m)
+    ys = np.arange(h_out, dtype=np.float64)
+    xs = np.unique(np.concatenate(
+        [np.arange(0, w_out, 32, dtype=np.float64), [w_out - 1.0]]))
+    gx, gy = np.meshgrid(xs, ys)                       # (Ho, Xc)
+    num = (mi[:, 1, 0, None, None] * gx + mi[:, 1, 1, None, None] * gy
+           + mi[:, 1, 2, None, None])
+    den = (mi[:, 2, 0, None, None] * gx + mi[:, 2, 1, None, None] * gy
+           + mi[:, 2, 2, None, None])
+    den = np.where(np.abs(den) < 1e-8, 1e-8, den)
+    y0 = np.floor(num / den)                           # (B, Ho, Xc)
+    r = rows_per_block
+    nb = -(-h_out // r)
+    pad = nb * r - h_out
+    if pad:
+        y0 = np.concatenate([y0, np.repeat(y0[:, -1:], pad, axis=1)],
+                            axis=1)
+    y0b = y0.reshape(y0.shape[0], nb, r, -1)
+    spread = (y0b.max(axis=(2, 3)) - y0b.min(axis=(2, 3))).max()
+    need = int(spread) + 2 + margin                    # 2 bilinear taps
+    for c in choices:
+        if c >= need:
+            return c
+    return choices[-1]
 
 
 @partial(jax.jit, static_argnums=(2, 3, 4, 5))

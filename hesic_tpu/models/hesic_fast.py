@@ -58,7 +58,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..codecs.device_rans import (freq_to_cdf,
-                                  pack_stream,
                                   rans_decode_grid, rans_encode_grid,
                                   unpack_stream)
 from ..codecs.pallas_rans import (rans_decode_grid_pallas,
@@ -75,7 +74,7 @@ def _use_pallas() -> bool:
     return jax.default_backend() == "tpu"
 
 from ..geometry import warp_perspective
-from ..geometry.fast_warp import warp_perspective_mxu
+from ..geometry.fast_warp import pick_warp_win, warp_perspective_mxu
 from .hesic_codec import HESICCodec
 
 MM_DEFAULT = 32       # symbol grid half-width
@@ -121,6 +120,15 @@ def _check_pmf_backend(blob: bytes) -> int:
             f"format v2 (deterministic PMF pipeline); re-encode with "
             f"this build")
     return 1
+
+
+def _bucket_q4(n: int, lo: int = 4096) -> int:
+    """Quarter-pow2 size bucket for dense link payloads: next value of
+    form (4..7) * 2^k, so the d2h slack stays <= 25% (pow2 buckets
+    waste up to 2x) at ~4x the compile count (persistent-cached)."""
+    n = max(int(n), lo)
+    k = max(n.bit_length() - 3, 0)
+    return -(-n >> k) << k       # ceil to a multiple of 2^k
 
 
 def _bucket_cap(c: int) -> int:
@@ -425,9 +433,16 @@ class HESICFastCodec(HESICCodec):
             return None                     # guaranteed bound in-kernel
         return max(64, -(-n_ch * ppl * 5 // 16 // 16) * 16)
 
-    def _fn(self, name: str):
-        if name in self._fns:
-            return self._fns[name]
+    def _fn(self, name: str, win: int = 64):
+        # programs containing a homography warp are additionally keyed
+        # by the static warp window (pick_warp_win): the x-contraction's
+        # MXU FLOPs scale with `win`, and near-rectified homographies
+        # need 16 rows, not 64
+        key = (name, win) if name in ("transforms_enc", "synth_out") \
+            else name
+        if key in self._fns:
+            return self._fns[key]
+        name = key if isinstance(key, str) else key[0]
         module, mm, lanes = self.module, self.mm, self.lanes
 
         def apply(params, method, *args):
@@ -448,7 +463,7 @@ class HESICFastCodec(HESICCodec):
                 med1 = params["entropy_bottleneck1"]["quantiles"][:, 0, 1]
                 z1_sym = jnp.round(z1 - med1).astype(jnp.int32)
                 y1_hat = jnp.round(y1).astype(jnp.int32)
-                x1_warp, wov = warp_perspective_mxu(x1, h, size)
+                x1_warp, wov = warp_perspective_mxu(x1, h, size, win)
                 y2 = apply(params, "analysis2", x1_warp, x2)
                 z2 = apply(params, "hyper_analysis2", y2)
                 med2 = params["entropy_bottleneck2"]["quantiles"][:, 0, 1]
@@ -480,7 +495,8 @@ class HESICFastCodec(HESICCodec):
             def fn(params, aux, y2_hat, h):
                 x1_hat = aux
                 size = (x1_hat.shape[1], x1_hat.shape[2])
-                x1_hat_warp, _ = warp_perspective_mxu(x1_hat, h, size)
+                x1_hat_warp, _ = warp_perspective_mxu(x1_hat, h, size,
+                                                      win)
                 x2_hat = apply(params, "synthesis2",
                                y2_hat.astype(jnp.float32), x1_hat_warp)
                 return x1_hat, x2_hat
@@ -515,20 +531,74 @@ class HESICFastCodec(HESICCodec):
 
             fn = jax.jit(_pack, static_argnums=(4, 5))
 
+        elif name == "pack_outputs_dense":
+            # pack_outputs with the word buffers gather-compacted ON
+            # DEVICE into dense (pair, lane, slot)-ordered streams, so
+            # the d2h carries the payload instead of the bucket padding
+            # (measured at the bench point: the padded packed fetch was
+            # 219 ms of a 552 ms batch-64 encode; the payload itself is
+            # ~45% of the padded bytes).  Byte-compatible with the
+            # padded path: the dense stream equals flat_words()'s
+            # output, so container bytes are unchanged.
+            def _packd(s1, s2, z1_sym, z2_sym, cap1: int, cap2: int,
+                       bucket1: int, bucket2: int):
+                parts = []
+                for (words, counts, states), cap, bucket in (
+                        (s1, cap1, bucket1), (s2, cap2, bucket2)):
+                    b_, _, lanes_ = words.shape
+                    w = jax.lax.dynamic_slice_in_dim(words, 0, cap,
+                                                     axis=1)
+                    wt = w.transpose(0, 2, 1).reshape(b_ * lanes_, cap)
+                    cnt = counts.reshape(-1).astype(jnp.int32)
+                    cum = jnp.cumsum(cnt)
+                    total = cum[-1]
+                    k = jnp.arange(bucket, dtype=jnp.int32)
+                    # gather, not scatter: TPU scatters without
+                    # uniqueness guarantees lower to a serial loop
+                    lane = jnp.minimum(
+                        jnp.searchsorted(cum, k, side="right")
+                           .astype(jnp.int32),
+                        b_ * lanes_ - 1)
+                    slot = jnp.minimum(k - (cum[lane] - cnt[lane]),
+                                       cap - 1)
+                    val = jnp.take(wt.reshape(-1), lane * cap + slot)
+                    dense = jnp.where(k < total, val, 0)
+                    parts.extend([
+                        counts.astype(jnp.uint16).reshape(-1),
+                        jax.lax.bitcast_convert_type(
+                            states, jnp.uint16).reshape(-1),
+                        dense.astype(jnp.uint16),
+                    ])
+                parts.extend([
+                    (z1_sym + 32768).astype(jnp.uint16).reshape(-1),
+                    (z2_sym + 32768).astype(jnp.uint16).reshape(-1)])
+                vec = jnp.concatenate(parts)
+                if vec.shape[0] % 2:
+                    vec = jnp.concatenate(
+                        [vec, jnp.zeros((1,), jnp.uint16)])
+                return jax.lax.bitcast_convert_type(
+                    vec.reshape(-1, 2), jnp.uint32)
+
+            fn = jax.jit(_packd, static_argnums=(4, 5, 6, 7))
+
         else:
             raise KeyError(name)
-        self._fns[name] = fn
+        self._fns[key] = fn
         return fn
 
-    def _cond_fns(self, mm: int):
-        """(cond1, cond2) shared conditioning programs for a grid width.
+    def _cond_fns(self, mm: int, win: int = 64):
+        """(cond1, cond2) shared conditioning programs for a grid width
+        and warp window.
 
         Grid centers are DATA-derived inputs (computed by the encoder,
         stored as i8 in the container) — the conditioning programs build
         frequency rows at the given integer centers, so both sides stay
         bit-exact by construction and the coding window tracks the
-        actual latents even when the hyper-prior mispredicts."""
-        key = ("cond", mm)
+        actual latents even when the hyper-prior mispredicts.  ``win``
+        is re-derived by the decoder from the container's H bytes
+        (pick_warp_win is deterministic f64 numpy), so both sides always
+        run the same compiled cond2."""
+        key = ("cond", mm, win)
         if key not in self._fns:
             module = self.module
 
@@ -550,7 +620,8 @@ class HESICFastCodec(HESICCodec):
                 x1_hat = apply(params, "synthesis1",
                                y1_hat.astype(jnp.float32))
                 size = (x1_hat.shape[1], x1_hat.shape[2])
-                x1_warp_ac, _ = warp_perspective_mxu(x1_hat, h, size)
+                x1_warp_ac, _ = warp_perspective_mxu(x1_hat, h, size,
+                                                     win)
                 y1_prior = jnp.round(
                     apply(params, "analysis1", x1_warp_ac))
                 med2 = params["entropy_bottleneck2"]["quantiles"][:, 0, 1]
@@ -569,8 +640,9 @@ class HESICFastCodec(HESICCodec):
         return self._run_canonical(
             lambda zp, cp: cond1(self.params, zp, cp), (z1_sym, center))
 
-    def _cond2(self, y1_hat, z2_sym, h_matrix, center, mm: int):
-        _, cond2 = self._cond_fns(mm)
+    def _cond2(self, y1_hat, z2_sym, h_matrix, center, mm: int,
+               win: int = 64):
+        _, cond2 = self._cond_fns(mm, win)
         return self._run_canonical(
             lambda yp, zp, hp, cp: cond2(self.params, yp, zp, hp, cp),
             (y1_hat, z2_sym, h_matrix, center))
@@ -606,7 +678,12 @@ class HESICFastCodec(HESICCodec):
 
         specs: tuple of ((shape...), kind) with kind
         'c' counts (u16 -> int32), 'u' states (u16 pairs -> uint32),
-        'w' words (u16 -> int32), 'z' biased z symbols (u16 -> int32).
+        'w' words (u16 -> int32), 'z' biased z symbols (u16 -> int32),
+        'wd' dense words (shape (b, cap, lanes, bucket): bucket u16
+        payload expanded on device to the padded (b, cap, lanes) int32
+        buffer using the counts produced two entries earlier — the
+        inverse of pack_outputs_dense's gather compaction, so the link
+        carries payload instead of padding).
         Cached per spec signature.
         """
         key = ("_unpack", specs)
@@ -617,6 +694,25 @@ class HESICFastCodec(HESICCodec):
                 out = []
                 off = 0
                 for shape, kind in specs:
+                    if kind == "wd":
+                        b_, cap, lanes_, bucket = shape
+                        dense = jax.lax.dynamic_slice_in_dim(
+                            buf, off, bucket).astype(jnp.int32)
+                        off += bucket
+                        cnt = out[-2].reshape(-1)       # counts, 'c'
+                        offs = jnp.cumsum(cnt) - cnt    # (b*lanes,)
+                        j = jax.lax.broadcasted_iota(
+                            jnp.int32, (b_ * lanes_, cap), 1)
+                        valid = j < cnt[:, None]
+                        pos = jnp.clip(offs[:, None] + j, 0, bucket - 1)
+                        w = jnp.where(
+                            valid,
+                            jnp.take(dense, pos.reshape(-1))
+                               .reshape(b_ * lanes_, cap),
+                            0)
+                        out.append(w.reshape(b_, lanes_, cap)
+                                    .transpose(0, 2, 1))
+                        continue
                     size = 1
                     for d in shape:
                         size *= d
@@ -736,7 +832,8 @@ class HESICFastCodec(HESICCodec):
         import jax
         return jax.ShapeDtypeStruct((b, h_img, w_img, 3), jnp.float32)
 
-    def device_flops(self, h_img: int, w_img: int, cap: int = 32) -> dict:
+    def device_flops(self, h_img: int, w_img: int, cap: int = 32,
+                     win: int = 64) -> dict:
         """XLA cost-analysis FLOPs for one enc+dec roundtrip.
 
         Lowers the fast-codec device programs at the codec's canonical
@@ -779,17 +876,17 @@ class HESICFastCodec(HESICCodec):
         dead = sd((b, m), jnp.bool_)
         aux = self._synth_aux_sd(b, h_img, w_img)
 
-        cond1, cond2 = self._cond_fns(mm)
+        cond1, cond2 = self._cond_fns(mm, win)
         enc, dec = self._stream_fns(ppl, cap, mm)
         progs = {
-            "transforms_enc": (self._fn("transforms_enc"),
+            "transforms_enc": (self._fn("transforms_enc", win),
                                (self.params, x, x, hm), {}),
             "cond1": (cond1, (self.params, z, center), {}),
             "cond2": (cond2, (self.params, y, z, hm, center), {}),
             "encode_stream": (enc, (freq, y, center), {}),
             "decode_stream": (dec, (freq, words, counts, states, center,
                                     (hy, wy), dead), {}),
-            "synth_out": (self._fn("synth_out"),
+            "synth_out": (self._fn("synth_out", win),
                           (self.params, aux, y, hm), {}),
         }
         per = {}
@@ -818,10 +915,13 @@ class HESICFastCodec(HESICCodec):
         h_matrix = jnp.asarray(h_matrix, jnp.float32)
         if h_matrix.shape[0] != x1.shape[0]:
             h_matrix = jnp.broadcast_to(h_matrix, (x1.shape[0], 3, 3))
+        win = pick_warp_win(np.asarray(h_matrix),
+                            x1.shape[1], x1.shape[2])
         h_matrix = self._place(h_matrix)
 
         (y1_hat, y2_hat, z1_sym, z2_sym, _wov, dc1, dc2, sp1,
-         sp2) = self._fn("transforms_enc")(self.params, x1, x2, h_matrix)
+         sp2) = self._fn("transforms_enc", win)(self.params, x1, x2,
+                                                h_matrix)
         # tiny sync: residual spreads pick the per-eye grid-width bucket,
         # data centers ride the container as i8 (like the reference's
         # per-image minmax, newnet1.py:873-906)
@@ -834,7 +934,8 @@ class HESICFastCodec(HESICCodec):
         cen1 = self._place(jnp.asarray(dc1_np))
         cen2 = self._place(jnp.asarray(dc2_np))
         freq1 = self._cond1(z1_sym, cen1, mm1)
-        freq2, _ = self._cond2(y1_hat, z2_sym, h_matrix, cen2, mm2)
+        freq2, _ = self._cond2(y1_hat, z2_sym, h_matrix, cen2, mm2,
+                               win=win)
 
         hw_y = y1_hat.shape[1] * y1_hat.shape[2]
         ppl = auto_ppl(hw_y, self.ppl)
@@ -864,25 +965,30 @@ class HESICFastCodec(HESICCodec):
         t = _tick("enc/outliers", t)
         cap1 = min(_bucket_cap(int(c1.max())), s1[0].shape[1])
         cap2 = min(_bucket_cap(int(c2.max())), s2[0].shape[1])
-        packed = np.asarray(self._fn("pack_outputs")(
-            s1[:3], s2[:3], z1_sym, z2_sym, cap1, cap2)).view(np.uint16)
+        total1, total2 = int(c1.sum()), int(c2.sum())
+        bucket1, bucket2 = _bucket_q4(total1), _bucket_q4(total2)
+        packed = np.asarray(self._fn("pack_outputs_dense")(
+            s1[:3], s2[:3], z1_sym, z2_sym, cap1, cap2,
+            bucket1, bucket2)).view(np.uint16)
         t = _tick("enc/packed-d2h", t)
         off = 0
 
-        def take(count, shape):
+        def take(count, shape=None):
             nonlocal off
-            out = packed[off:off + count].reshape(shape)
+            out = packed[off:off + count]
+            if shape is not None:
+                out = out.reshape(shape)
             off += count
             return out
 
         _ = take(b * lanes, (b, lanes))  # counts1 (already fetched)
         st1 = take(2 * b * lanes, (b, lanes, 2)).copy().view(
             np.uint32)[..., 0]
-        w1 = take(b * lanes * cap1, (b, cap1, lanes)).astype(np.int32)
+        flat1 = take(bucket1)[:total1]   # (pair, lane, slot) order
         _ = take(b * lanes, (b, lanes))  # counts2
         st2 = take(2 * b * lanes, (b, lanes, 2)).copy().view(
             np.uint32)[..., 0]
-        w2 = take(b * lanes * cap2, (b, cap2, lanes)).astype(np.int32)
+        flat2 = take(bucket2)[:total2]
         z1_np = take(int(np.prod(z1_sym.shape)),
                      z1_sym.shape).astype(np.int32) - 32768
         z2_np = take(int(np.prod(z2_sym.shape)),
@@ -904,20 +1010,14 @@ class HESICFastCodec(HESICCodec):
 
         if batch_container:
             # one blob for the whole batch.  The word buffers cross the
-            # device link bucket-padded (one packed d2h), but the
-            # CONTAINER stores only each lane's exact `count` words — the
-            # padding measured ~3 bpp on the untrained checker, and the
-            # host mask is a few ms.  Layout: u32 header | z strings |
-            # outliers | homographies | per stream (counts u16, states
-            # u32, flat words u16 in (pair, lane) order).
-            def flat_words(w, c):
-                # w: (b, cap, lanes) -> valid words per (pair, lane)
-                wl = np.ascontiguousarray(w.transpose(0, 2, 1))
-                mask = np.arange(w.shape[1])[None, None, :] < c[:, :, None]
-                return wl[mask].astype(np.uint16)
-
+            # device link gather-compacted (pack_outputs_dense), already
+            # in the container's exact (pair, lane, slot) order — the
+            # container stores only each lane's `count` words.  Layout:
+            # u32 header | z strings | outliers | homographies | per
+            # stream (counts u16, states u32, flat words u16 in
+            # (pair, lane) order).
             header = bytearray()
-            header += bytes([_pmf_backend_id(), mm1, mm2])
+            header += bytes([_pmf_backend_id(), mm1, mm2, win])
             header += np.array([x1.shape[1], x1.shape[2], b, lanes],
                                np.uint32).tobytes()
             for z1_str, z2_str in z_strs:
@@ -935,10 +1035,10 @@ class HESICFastCodec(HESICCodec):
             header += h_np.reshape(-1).astype(np.float32).tobytes()
             from ..codecs.device_rans import pack_counts
             body = bytearray()
-            for w, c, st in ((w1, c1, st1), (w2, c2, st2)):
+            for flat, c, st in ((flat1, c1, st1), (flat2, c2, st2)):
                 body += pack_counts(c.reshape(-1))
                 body += st.astype(np.uint32).tobytes()
-                body += flat_words(w, c).tobytes()
+                body += flat.astype(np.uint16).tobytes()
             blob = bytes(header) + bytes(body)
             _tick("enc/container", t)
             return {
@@ -948,11 +1048,14 @@ class HESICFastCodec(HESICCodec):
                 "enctime": time.time() - start,
             }
 
+        from ..codecs.device_rans import pack_stream_dense
+        pt1 = np.concatenate([[0], np.cumsum(c1.sum(axis=1))])
+        pt2 = np.concatenate([[0], np.cumsum(c2.sum(axis=1))])
         blobs = []
         for i in range(b):
             z1_str, z2_str = z_strs[i]
             header = bytearray()
-            header += bytes([_pmf_backend_id(), mm1, mm2])
+            header += bytes([_pmf_backend_id(), mm1, mm2, win])
             header += np.array([x1.shape[1], x1.shape[2]],
                                np.uint16).tobytes()
             for s in (z1_str, z2_str):
@@ -963,8 +1066,10 @@ class HESICFastCodec(HESICCodec):
             header += dc1_np[i].astype(np.int8).tobytes()
             header += dc2_np[i].astype(np.int8).tobytes()
             header += h_np[i].reshape(-1).astype(np.float32).tobytes()
-            body = pack_stream(w1[i].T, c1[i], st1[i]) \
-                + pack_stream(w2[i].T, c2[i], st2[i])
+            body = pack_stream_dense(flat1[pt1[i]:pt1[i + 1]],
+                                     c1[i], st1[i]) \
+                + pack_stream_dense(flat2[pt2[i]:pt2[i + 1]],
+                                    c2[i], st2[i])
             blobs.append(bytes(header) + body)
 
         total = sum(len(bl) for bl in blobs)
@@ -982,8 +1087,8 @@ class HESICFastCodec(HESICCodec):
         and ships everything in one h2d transfer."""
         start = time.time()
         off = _check_pmf_backend(blob)
-        mm1, mm2 = blob[off], blob[off + 1]
-        off += 2
+        mm1, mm2, win = blob[off], blob[off + 1], blob[off + 2]
+        off += 3
         hdr = np.frombuffer(blob, np.uint32, 4, off)
         h_img, w_img, b, lanes = (int(v) for v in hdr)
         off += 16
@@ -1023,6 +1128,9 @@ class HESICFastCodec(HESICCodec):
         from ..codecs.device_rans import unpack_counts
 
         def read_stream(off):
+            # keep the payload DENSE on the host: the padded (b, cap,
+            # lanes) buffer is rebuilt on device by the unpack program
+            # ('wd' kind), so the h2d carries payload, not padding
             c, off = unpack_counts(blob, off, b * lanes)
             c = c.reshape(b, lanes)
             st = np.frombuffer(blob, np.uint32, b * lanes,
@@ -1031,24 +1139,24 @@ class HESICFastCodec(HESICCodec):
             total = int(c.sum())
             flat = np.frombuffer(blob, np.uint16, total, off)
             off += 2 * total
-            cap = _bucket_cap(int(c.max()))
-            wl = np.zeros((b, lanes, cap), np.uint16)
-            wl[np.arange(cap)[None, None, :] < c[:, :, None]] = flat
-            return np.ascontiguousarray(
-                wl.transpose(0, 2, 1)).astype(np.int32), c, st, off
+            fp = np.zeros(_bucket_q4(total), np.uint16)
+            fp[:total] = flat
+            return fp, c, st, off
 
-        w1, c1, st1, off = read_stream(off)
-        w2, c2, st2, off = read_stream(off)
+        flat1, c1, st1, off = read_stream(off)
+        flat2, c2, st2, off = read_stream(off)
+        cap1 = _bucket_cap(int(c1.max()))
+        cap2 = _bucket_cap(int(c2.max()))
         t = _tick("dec/words-rebuild", t)
         z1_np = np.stack(z1_list)
         z2_np = np.stack(z2_list)
         buf = np.concatenate([
             c1.astype(np.uint16).reshape(-1),
             st1.view(np.uint16).reshape(-1),
-            w1.astype(np.uint16).reshape(-1),
+            flat1,
             c2.astype(np.uint16).reshape(-1),
             st2.view(np.uint16).reshape(-1),
-            w2.astype(np.uint16).reshape(-1),
+            flat2,
             (z1_np + 32768).astype(np.uint16).reshape(-1),
             (z2_np + 32768).astype(np.uint16).reshape(-1)])
         if buf.size % 2:
@@ -1057,9 +1165,9 @@ class HESICFastCodec(HESICCodec):
         z_shape4 = z1_np.shape
         specs = [
             ((b, lanes), "c"), ((b, lanes), "u"),
-            ((b, w1.shape[1], lanes), "w"),
+            ((b, cap1, lanes, flat1.size), "wd"),
             ((b, lanes), "c"), ((b, lanes), "u"),
-            ((b, w2.shape[1], lanes), "w"),
+            ((b, cap2, lanes, flat2.size), "wd"),
             (z_shape4, "z"), (z_shape4, "z"),
         ]
         unpack = self._unpack_fn(tuple((tuple(s), k) for s, k in specs))
@@ -1068,7 +1176,7 @@ class HESICFastCodec(HESICCodec):
         return self._finish_decode(c1d, st1d, w1d, c2d, st2d, w2d, z1_sym,
                                    z2_sym, h_matrix, y_shape, start,
                                    corr1, corr2, dead1, dead2,
-                                   cen1, cen2, mm1, mm2)
+                                   cen1, cen2, mm1, mm2, win=win)
 
     def _place(self, t):
         """Apply the optional batch-axis sharding (no-op by default)."""
@@ -1080,7 +1188,7 @@ class HESICFastCodec(HESICCodec):
     def _finish_decode(self, c1d, st1d, w1d, c2d, st2d, w2d, z1_sym,
                        z2_sym, h_matrix, y_shape, start,
                        corr1, corr2, dead1, dead2, cen1, cen2,
-                       mm1: int, mm2: int):
+                       mm1: int, mm2: int, win: int = 64):
         if self.placement is not None:
             (c1d, st1d, w1d, c2d, st2d, w2d, z1_sym, z2_sym,
              h_matrix, dead1, dead2, cen1, cen2) = (
@@ -1092,11 +1200,12 @@ class HESICFastCodec(HESICCodec):
         freq1 = self._cond1(z1_sym, cen1, mm1)
         y1_hat = self._decode_y(freq1, w1d, c1d, st1d, cen1, y_shape,
                                 corr1, dead1, mm1)
-        freq2, aux = self._cond2(y1_hat, z2_sym, h_matrix, cen2, mm2)
+        freq2, aux = self._cond2(y1_hat, z2_sym, h_matrix, cen2, mm2,
+                                 win=win)
         y2_hat = self._decode_y(freq2, w2d, c2d, st2d, cen2, y_shape,
                                 corr2, dead2, mm2)
-        x1_hat, x2_hat = self._fn("synth_out")(self.params, aux, y2_hat,
-                                               h_matrix)
+        x1_hat, x2_hat = self._fn("synth_out", win)(self.params, aux,
+                                                    y2_hat, h_matrix)
         return {
             "x1_hat": x1_hat,
             "x2_hat": x2_hat,
@@ -1117,10 +1226,17 @@ class HESICFastCodec(HESICCodec):
         y_shape = None
         mm1 = mm2 = None
         cen1_l, cen2_l = [], []
+        win = None
         for blob in blobs:
             off = _check_pmf_backend(blob)
-            mm1, mm2 = blob[off], blob[off + 1]
-            off += 2
+            mm1, mm2, blob_win = blob[off], blob[off + 1], blob[off + 2]
+            if win is not None and blob_win != win:
+                raise ValueError(
+                    "per-pair blobs in one decompress_fast call must "
+                    f"share a warp window (got {win} and {blob_win}); "
+                    "decode them in separate calls")
+            win = blob_win
+            off += 3
             x_shape = np.frombuffer(blob, np.uint16, 2, off)
             off += 4
             z_strs = []
@@ -1211,7 +1327,7 @@ class HESICFastCodec(HESICCodec):
         return self._finish_decode(c1d, st1d, w1d, c2d, st2d, w2d, z1_sym,
                                    z2_sym, h_matrix, y_shape, start,
                                    corr1, corr2, dead1, dead2,
-                                   cen1, cen2, mm1, mm2)
+                                   cen1, cen2, mm1, mm2, win=win)
 
     # ---- z-path host helpers (symbols already centered) ----
 

@@ -220,11 +220,61 @@ class TestPplLaneFolding:
                                codec_batch=1)
         codec.update()
         out = codec.compress_fast(x1, x2, h, batch_container=True)
-        # header: backend u8 | mm1 u8 | mm2 u8 | u32 h, w, b, lanes
-        lanes = int(np.frombuffer(out["blob"], np.uint32, 4, 3)[3])
+        # header: format u8 | mm1 u8 | mm2 u8 | win u8 | u32 h, w, b,
+        # lanes
+        lanes = int(np.frombuffer(out["blob"], np.uint32, 4, 4)[3])
         assert lanes == 128  # 256 positions / ppl 2
         rec = codec.decompress_fast_batch(out["blob"])
         y1h, y2h = codec._fn("transforms_enc")(codec.params, x1, x2, h)[:2]
+        np.testing.assert_array_equal(
+            np.asarray(rec["y1_hat"]),
+            np.asarray(y1h).astype(np.float32))
+        np.testing.assert_array_equal(
+            np.asarray(rec["y2_hat"]),
+            np.asarray(y2h).astype(np.float32))
+
+
+class TestAdaptiveWarpWin:
+    def test_pick_warp_win_buckets(self):
+        """Near-rectified homographies get the 16-row window (the MXU
+        x-contraction's FLOPs scale with win — 64 was ~32x the 2
+        bilinear taps actually needed); strong rotation widens it."""
+        from hesic_tpu.geometry.fast_warp import pick_warp_win
+        ident = np.eye(3, dtype=np.float32)[None]
+        assert pick_warp_win(ident, 512, 512) == 16
+        shift = ident.copy()
+        shift[0, 1, 2] = 37.0          # vertical translation only
+        assert pick_warp_win(shift, 512, 512) == 16
+        th = np.deg2rad(8.0)           # 8° rotation: ~72-row spread
+        rot = np.array([[np.cos(th), -np.sin(th), 0],
+                        [np.sin(th), np.cos(th), 0],
+                        [0, 0, 1]], np.float32)[None]
+        assert pick_warp_win(rot, 512, 512) == 64
+
+    def test_roundtrip_nonidentity_h_carries_win(self):
+        """A rotated homography picks a wider window; the container
+        records it (header byte 3) and the roundtrip stays bit-exact —
+        the decoder runs the stored win, not a recomputed guess."""
+        rng = np.random.RandomState(9)
+        x1 = jnp.asarray(rng.rand(1, 128, 128, 3), jnp.float32)
+        x2 = jnp.asarray(rng.rand(1, 128, 128, 3), jnp.float32)
+        th = np.deg2rad(6.0)
+        h = jnp.asarray(np.array(
+            [[np.cos(th), -np.sin(th), 4.0],
+             [np.sin(th), np.cos(th), -3.0],
+             [0, 0, 1]], np.float32)[None])
+        module = HESIC(N=8, M=16, K=2)
+        codec = HESICFastCodec.init(module, [x1.shape, x2.shape, h.shape])
+        codec = HESICFastCodec(codec.module, codec.params, mm=8,
+                               codec_batch=1)
+        codec.update()
+        out = codec.compress_fast(x1, x2, h, batch_container=True)
+        from hesic_tpu.geometry.fast_warp import pick_warp_win
+        want_win = pick_warp_win(np.asarray(h), 128, 128)
+        assert out["blob"][3] == want_win > 16
+        rec = codec.decompress_fast_batch(out["blob"])
+        y1h, y2h = codec._fn(
+            "transforms_enc", want_win)(codec.params, x1, x2, h)[:2]
         np.testing.assert_array_equal(
             np.asarray(rec["y1_hat"]),
             np.asarray(y1h).astype(np.float32))
