@@ -138,6 +138,59 @@ def _bucket_cap(c: int) -> int:
     return max(16, -(-c // 16) * 16)
 
 
+_LINK_G = 16
+"""Words per block in link-payload compaction.
+
+The device link (axon tunnel) moves ~240 ns/element regardless of
+width, so the padded (B, CAP, lanes) word buffers must be compacted
+before transfer — but TPU pays elementwise gathers at ~100 ns/element
+(measured: a 1M-element compaction gather cost 240 ms, wiping out the
+transfer saving).  Gathering 16-word BLOCK rows instead amortizes the
+index math 16x and lets XLA move contiguous 64 B rows: measured free
+(<1 ms at the bench point) while keeping intra-lane slack <= 8 words
+per lane (~7% at realistic counts).  The link payload is block-dense
+(each lane starts at a block boundary); the exact-dense container
+stream is recovered by a cheap numpy mask on the host
+(_strip_blocks/_expand_blocks), so container bytes are unchanged."""
+
+
+def _block_bucket(counts_np) -> int:
+    """Link-bucket size in words (multiple of _LINK_G, quarter-pow2
+    bucketed) for the block-dense payload of a counts array."""
+    g = _LINK_G
+    bt = int((-(-counts_np.astype(np.int64) // g)).sum()) * g
+    return -(-_bucket_q4(bt) // g) * g
+
+
+def _block_word_mask(counts_np):
+    """Boolean mask over the block-dense stream: True at payload words,
+    False at intra-block tail padding.  Shared by strip (encode d2h)
+    and expand (decode h2d)."""
+    g = _LINK_G
+    cnt = counts_np.reshape(-1).astype(np.int64)
+    bwords = (-(-cnt // g)) * g                 # block-padded words/lane
+    lane = np.repeat(np.arange(cnt.size), bwords)
+    starts = np.cumsum(bwords) - bwords
+    within = np.arange(int(bwords.sum())) - starts[lane]
+    return within < cnt[lane]
+
+
+def _strip_blocks(block_flat, counts_np):
+    """Block-dense link payload -> exact-dense (pair, lane, slot) words
+    (the container stream)."""
+    mask = _block_word_mask(counts_np)
+    return np.ascontiguousarray(block_flat[: mask.size][mask])
+
+
+def _expand_blocks(flat_exact, counts_np):
+    """Exact-dense container stream -> block-dense link payload, padded
+    to the _block_bucket size (inverse of _strip_blocks)."""
+    mask = _block_word_mask(counts_np)
+    out = np.zeros(_block_bucket(counts_np), flat_exact.dtype)
+    out[: mask.size][mask] = flat_exact
+    return out
+
+
 def _gmm_freq_fast(sigma, means, weights, mm: int, k: int, center=None):
     """(B, h, w, M*K) GMM params -> (freq (B, M, S, h*w) quantized
     frequency rows in LANE LAYOUT, center (B, M) int32 grid offsets).
@@ -532,42 +585,54 @@ class HESICFastCodec(HESICCodec):
             fn = jax.jit(_pack, static_argnums=(4, 5))
 
         elif name == "pack_outputs_dense":
-            # pack_outputs with the word buffers gather-compacted ON
-            # DEVICE into dense (pair, lane, slot)-ordered streams, so
-            # the d2h carries the payload instead of the bucket padding
-            # (measured at the bench point: the padded packed fetch was
-            # 219 ms of a 552 ms batch-64 encode; the payload itself is
-            # ~45% of the padded bytes).  Byte-compatible with the
-            # padded path: the dense stream equals flat_words()'s
-            # output, so container bytes are unchanged.
+            # pack_outputs with the word buffers compacted ON DEVICE
+            # into BLOCK-dense (pair, lane, block) streams, so the d2h
+            # carries payload (+ <=_LINK_G-1 words/lane of block slack)
+            # instead of bucket padding.  Row-granular gathers only: an
+            # elementwise compaction gather measured 240 ms at the
+            # bench point (TPU pays gathers per element), a _LINK_G-row
+            # gather is free.  The host strips the intra-block slack
+            # (_strip_blocks) before writing the container, so bytes on
+            # disk are unchanged.
             def _packd(s1, s2, z1_sym, z2_sym, cap1: int, cap2: int,
                        bucket1: int, bucket2: int):
+                g = _LINK_G
                 parts = []
                 for (words, counts, states), cap, bucket in (
                         (s1, cap1, bucket1), (s2, cap2, bucket2)):
                     b_, _, lanes_ = words.shape
                     w = jax.lax.dynamic_slice_in_dim(words, 0, cap,
                                                      axis=1)
-                    wt = w.transpose(0, 2, 1).reshape(b_ * lanes_, cap)
+                    if cap % g:
+                        w = jnp.pad(w, ((0, 0), (0, g - cap % g),
+                                        (0, 0)))
+                        cap += g - cap % g
+                    nl = b_ * lanes_
+                    nb = cap // g
+                    wt = w.transpose(0, 2, 1).reshape(nl * nb, g)
                     cnt = counts.reshape(-1).astype(jnp.int32)
-                    cum = jnp.cumsum(cnt)
-                    total = cum[-1]
-                    k = jnp.arange(bucket, dtype=jnp.int32)
+                    bcnt = -(-cnt // g)
+                    cumb = jnp.cumsum(bcnt)
+                    k = jnp.arange(bucket // g, dtype=jnp.int32)
                     # gather, not scatter: TPU scatters without
                     # uniqueness guarantees lower to a serial loop
                     lane = jnp.minimum(
-                        jnp.searchsorted(cum, k, side="right")
+                        jnp.searchsorted(cumb, k, side="right")
                            .astype(jnp.int32),
-                        b_ * lanes_ - 1)
-                    slot = jnp.minimum(k - (cum[lane] - cnt[lane]),
-                                       cap - 1)
-                    val = jnp.take(wt.reshape(-1), lane * cap + slot)
-                    dense = jnp.where(k < total, val, 0)
+                        nl - 1)
+                    blk = jnp.minimum(k - (cumb[lane] - bcnt[lane]),
+                                      nb - 1)
+                    rows = jnp.take(wt, lane * nb + blk, axis=0)
+                    # zero block padding: deterministic link bytes
+                    wordi = blk[:, None] * g + jax.lax.broadcasted_iota(
+                        jnp.int32, (bucket // g, g), 1)
+                    dense = jnp.where(wordi < cnt[lane][:, None],
+                                      rows, 0)
                     parts.extend([
                         counts.astype(jnp.uint16).reshape(-1),
                         jax.lax.bitcast_convert_type(
                             states, jnp.uint16).reshape(-1),
-                        dense.astype(jnp.uint16),
+                        dense.astype(jnp.uint16).reshape(-1),
                     ])
                 parts.extend([
                     (z1_sym + 32768).astype(jnp.uint16).reshape(-1),
@@ -679,11 +744,12 @@ class HESICFastCodec(HESICCodec):
         specs: tuple of ((shape...), kind) with kind
         'c' counts (u16 -> int32), 'u' states (u16 pairs -> uint32),
         'w' words (u16 -> int32), 'z' biased z symbols (u16 -> int32),
-        'wd' dense words (shape (b, cap, lanes, bucket): bucket u16
-        payload expanded on device to the padded (b, cap, lanes) int32
-        buffer using the counts produced two entries earlier — the
-        inverse of pack_outputs_dense's gather compaction, so the link
-        carries payload instead of padding).
+        'wd' block-dense words (shape (b, cap, lanes, bucket): bucket
+        u16 BLOCK-dense payload (_expand_blocks layout, each lane
+        block-aligned) expanded on device to the padded (b, cap, lanes)
+        int32 buffer using the counts produced two entries earlier —
+        the inverse of pack_outputs_dense.  Row-granular gathers only
+        (see _LINK_G).
         Cached per spec signature.
         """
         key = ("_unpack", specs)
@@ -696,20 +762,28 @@ class HESICFastCodec(HESICCodec):
                 for shape, kind in specs:
                     if kind == "wd":
                         b_, cap, lanes_, bucket = shape
+                        g = _LINK_G
                         dense = jax.lax.dynamic_slice_in_dim(
                             buf, off, bucket).astype(jnp.int32)
                         off += bucket
+                        rows = dense.reshape(bucket // g, g)
+                        nl = b_ * lanes_
+                        capg = -(-cap // g) * g
+                        nb = capg // g
                         cnt = out[-2].reshape(-1)       # counts, 'c'
-                        offs = jnp.cumsum(cnt) - cnt    # (b*lanes,)
+                        bcnt = -(-cnt // g)
+                        boffs = jnp.cumsum(bcnt) - bcnt  # (b*lanes,)
                         j = jax.lax.broadcasted_iota(
-                            jnp.int32, (b_ * lanes_, cap), 1)
-                        valid = j < cnt[:, None]
-                        pos = jnp.clip(offs[:, None] + j, 0, bucket - 1)
-                        w = jnp.where(
-                            valid,
-                            jnp.take(dense, pos.reshape(-1))
-                               .reshape(b_ * lanes_, cap),
-                            0)
+                            jnp.int32, (nl, nb), 1)
+                        src = jnp.clip(boffs[:, None] + j, 0,
+                                       bucket // g - 1)
+                        w = jnp.take(rows, src.reshape(-1), axis=0)
+                        w = w.reshape(nl, nb, g)
+                        wordi = (j[:, :, None] * g
+                                 + jax.lax.broadcasted_iota(
+                                     jnp.int32, (nl, nb, g), 2))
+                        w = jnp.where(wordi < cnt[:, None, None], w, 0)
+                        w = w.reshape(nl, capg)[:, :cap]
                         out.append(w.reshape(b_, lanes_, cap)
                                     .transpose(0, 2, 1))
                         continue
@@ -966,7 +1040,7 @@ class HESICFastCodec(HESICCodec):
         cap1 = min(_bucket_cap(int(c1.max())), s1[0].shape[1])
         cap2 = min(_bucket_cap(int(c2.max())), s2[0].shape[1])
         total1, total2 = int(c1.sum()), int(c2.sum())
-        bucket1, bucket2 = _bucket_q4(total1), _bucket_q4(total2)
+        bucket1, bucket2 = _block_bucket(c1), _block_bucket(c2)
         packed = np.asarray(self._fn("pack_outputs_dense")(
             s1[:3], s2[:3], z1_sym, z2_sym, cap1, cap2,
             bucket1, bucket2)).view(np.uint16)
@@ -984,11 +1058,12 @@ class HESICFastCodec(HESICCodec):
         _ = take(b * lanes, (b, lanes))  # counts1 (already fetched)
         st1 = take(2 * b * lanes, (b, lanes, 2)).copy().view(
             np.uint32)[..., 0]
-        flat1 = take(bucket1)[:total1]   # (pair, lane, slot) order
+        # block-dense link payload -> exact-dense (pair, lane, slot)
+        flat1 = _strip_blocks(take(bucket1), c1)
         _ = take(b * lanes, (b, lanes))  # counts2
         st2 = take(2 * b * lanes, (b, lanes, 2)).copy().view(
             np.uint32)[..., 0]
-        flat2 = take(bucket2)[:total2]
+        flat2 = _strip_blocks(take(bucket2), c2)
         z1_np = take(int(np.prod(z1_sym.shape)),
                      z1_sym.shape).astype(np.int32) - 32768
         z2_np = take(int(np.prod(z2_sym.shape)),
@@ -1128,9 +1203,10 @@ class HESICFastCodec(HESICCodec):
         from ..codecs.device_rans import unpack_counts
 
         def read_stream(off):
-            # keep the payload DENSE on the host: the padded (b, cap,
-            # lanes) buffer is rebuilt on device by the unpack program
-            # ('wd' kind), so the h2d carries payload, not padding
+            # keep the payload block-dense on the host: the padded
+            # (b, cap, lanes) buffer is rebuilt on device by the unpack
+            # program ('wd' kind), so the h2d carries payload (+ <=7%
+            # block slack), not bucket padding
             c, off = unpack_counts(blob, off, b * lanes)
             c = c.reshape(b, lanes)
             st = np.frombuffer(blob, np.uint32, b * lanes,
@@ -1139,9 +1215,7 @@ class HESICFastCodec(HESICCodec):
             total = int(c.sum())
             flat = np.frombuffer(blob, np.uint16, total, off)
             off += 2 * total
-            fp = np.zeros(_bucket_q4(total), np.uint16)
-            fp[:total] = flat
-            return fp, c, st, off
+            return _expand_blocks(flat, c), c, st, off
 
         flat1, c1, st1, off = read_stream(off)
         flat2, c2, st2, off = read_stream(off)
