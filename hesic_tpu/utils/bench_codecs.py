@@ -65,6 +65,10 @@ class Codec:
 
     fmt: str = ""
     quality_range = (1, 100)
+    #: True where the quality knob is a QP/ratio: larger values mean
+    #: MORE compression (lower bpp/psnr).  Mirrors the reference
+    #: find_close `rev` flag (utils/find_close/__main__.py:24-50).
+    quality_reversed = False
 
     @property
     def name(self):
@@ -119,6 +123,7 @@ class JPEG2000(PillowCodec):
 
     fmt = "JPEG2000"
     quality_range = (1, 400)
+    quality_reversed = True  # quality = compression ratio
 
     def encode(self, img, quality):
         buf = io.BytesIO()
@@ -154,6 +159,7 @@ class BPG(BinaryCodec):
     encode_bin = "bpgenc"
     decode_bin = "bpgdec"
     quality_range = (0, 51)
+    quality_reversed = True  # quality = QP
 
     def run(self, path: str, quality: int) -> dict:
         import tempfile
@@ -191,6 +197,7 @@ class _FFmpegVideoIntra(BinaryCodec):
     vcodec = ""
     quality_flag = "-crf"
     quality_range = (0, 51)
+    quality_reversed = True  # quality = CRF/QP
 
     def run(self, path: str, quality: int) -> dict:
         import tempfile
@@ -253,6 +260,7 @@ class _ReferenceSoftware(BinaryCodec):
 
     cfg_env = ""
     quality_range = (0, 51)
+    quality_reversed = True  # quality = QP
 
     def _cfg(self) -> str:
         cfg = os.environ.get(self.cfg_env, "")

@@ -16,19 +16,32 @@ from .bench_codecs import CODECS, BinaryCodec
 
 
 def find_closest(codec, path: str, target: float, metric: str = "bpp"):
+    """Interval bisection on the MEASURED metric value (reference
+    find_close/__main__.py:52-87): the open interval (lo, hi) shrinks
+    toward the quality whose metric brackets the target, with the
+    direction flipped for QP/ratio-style knobs
+    (``codec.quality_reversed``).  Bisecting on the value rather than
+    on the quality index keeps the best-so-far answer correct when the
+    metric plateaus across qualities (the measured value, not the
+    index, decides which half can be discarded)."""
     lo, hi = codec.quality_range
+    lo, hi = lo - 1, hi + 1          # open interval, endpoints excluded
+    rev = codec.quality_reversed
     best = None
-    while lo <= hi:
+    while hi > lo + 1:
         mid = (lo + hi) // 2
         res = codec.run(path, mid)
         value = res[metric]
         if best is None or abs(value - target) < abs(best[1] - target):
             best = (mid, value, res)
-        # bpp and quality move together for all supported codecs
-        if value < target:
-            lo = mid + 1
+        if value > target:
+            # overshoot: drop the higher-metric half
+            lo, hi = (mid, hi) if rev else (lo, mid)
+        elif value < target:
+            # undershoot: drop the lower-metric half
+            lo, hi = (mid, hi) if not rev else (lo, mid)
         else:
-            hi = mid - 1
+            break
     return best
 
 

@@ -137,6 +137,36 @@ class TestBenchCodecs:
         assert JPEG.quality_range[0] <= q <= JPEG.quality_range[1]
         assert "psnr-rgb" in res
 
+    def test_find_close_reversed_and_plateau(self):
+        """Value-driven bisection (reference __main__.py:52-87): correct
+        for QP-style knobs (metric falls as quality rises) and when the
+        metric plateaus across a range of qualities."""
+        from hesic_tpu.utils.find_close import find_closest
+
+        class FakeQP:
+            quality_range = (0, 51)
+            quality_reversed = True
+            calls = 0
+
+            def run(self, path, q):
+                type(self).calls += 1
+                return {"bpp": 8.0 / (1 + q)}  # falls with q (QP-like)
+
+        q, val, _ = find_closest(FakeQP(), "x", 0.25, "bpp")
+        assert abs(8.0 / (1 + q) - 0.25) == min(
+            abs(8.0 / (1 + qq) - 0.25) for qq in range(0, 52))
+        assert FakeQP.calls < 10  # bisection, not a scan
+
+        class FakePlateau:
+            quality_range = (1, 100)
+            quality_reversed = False
+
+            def run(self, path, q):
+                return {"bpp": float(min(max(q, 40), 60)) / 10.0}
+
+        q, val, _ = find_closest(FakePlateau(), "x", 7.3, "bpp")
+        assert val == 6.0  # plateau edge: closest attainable value
+
 
 class TestEvalHomographyCLI:
     def test_smoke_fresh_init(self, tmp_path, capsys):
