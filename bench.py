@@ -580,19 +580,28 @@ def main():
 
     # software pipeline: encode batch i+1 on a worker thread while the
     # main thread parses/queues the decode of batch i, so the device never
-    # waits on host-side container work
-    from concurrent.futures import ThreadPoolExecutor
-    ex = ThreadPoolExecutor(1)
-    start = time.time()
-    fut = ex.submit(codec.compress_fast, x1, x2, h, True)
-    for i in range(n_batches):
-        out = fut.result()
-        if i + 1 < n_batches:
-            fut = ex.submit(codec.compress_fast, x1, x2, h, True)
-        rec = codec.decompress_fast_batch(out["blob"])
-    jax.block_until_ready(rec["x2_hat"])
-    elapsed = time.time() - start
-    ex.shutdown()
+    # waits on host-side container work.  BENCH_PIPELINE=0 measures the
+    # strictly sequential enc->dec loop instead (diagnostic).
+    if os.environ.get("BENCH_PIPELINE", "1") == "1":
+        from concurrent.futures import ThreadPoolExecutor
+        ex = ThreadPoolExecutor(1)
+        start = time.time()
+        fut = ex.submit(codec.compress_fast, x1, x2, h, True)
+        for i in range(n_batches):
+            out = fut.result()
+            if i + 1 < n_batches:
+                fut = ex.submit(codec.compress_fast, x1, x2, h, True)
+            rec = codec.decompress_fast_batch(out["blob"])
+        jax.block_until_ready(rec["x2_hat"])
+        elapsed = time.time() - start
+        ex.shutdown()
+    else:
+        start = time.time()
+        for i in range(n_batches):
+            out = codec.compress_fast(x1, x2, h, True)
+            rec = codec.decompress_fast_batch(out["blob"])
+        jax.block_until_ready(rec["x2_hat"])
+        elapsed = time.time() - start
     pairs_per_sec = n_batches * batch / elapsed
 
     # MFU from XLA's own cost analysis of the codec programs (compiles
