@@ -573,16 +573,38 @@ def main():
     x1 = jnp.asarray(np.concatenate([p[0] for p in xs]))
     x2 = jnp.asarray(np.concatenate([p[1] for p in xs]))
 
-    # warmup: compile both directions
+    # warmup: compile both directions (the sync call also seeds the
+    # sticky shapes; the start/finish pair compiles the async pack)
     out = codec.compress_fast(x1, x2, h, batch_container=True)
+    out2 = codec.compress_fast_finish(codec.compress_fast_start(x1, x2, h))
+    assert out2["blob"] == out["blob"], "pipelined encode diverged"
     rec = codec.decompress_fast_batch(out["blob"])
     jax.block_until_ready(rec["x2_hat"])
 
-    # software pipeline: encode batch i+1 on a worker thread while the
-    # main thread parses/queues the decode of batch i, so the device never
-    # waits on host-side container work.  BENCH_PIPELINE=0 measures the
-    # strictly sequential enc->dec loop instead (diagnostic).
-    if os.environ.get("BENCH_PIPELINE", "1") == "1":
+    # BENCH_PIPELINE selects the loop structure:
+    #   2 (default): single-thread async pipeline over the start/finish
+    #      split — decode(i-1)'s dispatch lands between encode(i)'s pack
+    #      dispatch and its payload fetch, so the d2h link time overlaps
+    #      decode device compute, and the sticky-shape encode dispatch
+    #      chain has NO intermediate sync (warmup seeded the shapes)
+    #   1: two-thread pipeline (encode on a worker thread)
+    #   0: strictly sequential enc->dec loop (diagnostic)
+    mode = os.environ.get("BENCH_PIPELINE", "2")
+    if mode == "2":
+        start = time.time()
+        h_enc = codec.compress_fast_start(x1, x2, h)
+        prev = None
+        for i in range(n_batches):
+            if prev is not None:
+                rec = codec.decompress_fast_batch(prev)
+            out = codec.compress_fast_finish(h_enc)
+            if i + 1 < n_batches:
+                h_enc = codec.compress_fast_start(x1, x2, h)
+            prev = out["blob"]
+        rec = codec.decompress_fast_batch(prev)
+        jax.block_until_ready(rec["x2_hat"])
+        elapsed = time.time() - start
+    elif mode == "1":
         from concurrent.futures import ThreadPoolExecutor
         ex = ThreadPoolExecutor(1)
         start = time.time()

@@ -191,6 +191,44 @@ def _expand_blocks(flat_exact, counts_np):
     return out
 
 
+def _dense_stream_parts(words, counts, states, cap: int, bucket: int):
+    """Device-side block-dense compaction of one stream's word buffer
+    (see pack_outputs_dense): [counts u16, states u16-pairs, block-dense
+    words u16] parts for the packed link vector.  Row-granular gathers
+    only — an elementwise compaction gather measured 240 ms at the
+    bench point (TPU pays gathers per element); a ``_LINK_G``-word row
+    gather is free."""
+    g = _LINK_G
+    b_, _, lanes_ = words.shape
+    w = jax.lax.dynamic_slice_in_dim(words, 0, cap, axis=1)
+    if cap % g:
+        w = jnp.pad(w, ((0, 0), (0, g - cap % g), (0, 0)))
+        cap += g - cap % g
+    nl = b_ * lanes_
+    nb = cap // g
+    wt = w.transpose(0, 2, 1).reshape(nl * nb, g)
+    cnt = counts.reshape(-1).astype(jnp.int32)
+    bcnt = -(-cnt // g)
+    cumb = jnp.cumsum(bcnt)
+    k = jnp.arange(bucket // g, dtype=jnp.int32)
+    # gather, not scatter: TPU scatters without uniqueness guarantees
+    # lower to a serial loop
+    lane = jnp.minimum(
+        jnp.searchsorted(cumb, k, side="right").astype(jnp.int32),
+        nl - 1)
+    blk = jnp.minimum(k - (cumb[lane] - bcnt[lane]), nb - 1)
+    rows = jnp.take(wt, lane * nb + blk, axis=0)
+    # zero block padding: deterministic link bytes
+    wordi = blk[:, None] * g + jax.lax.broadcasted_iota(
+        jnp.int32, (bucket // g, g), 1)
+    dense = jnp.where(wordi < cnt[lane][:, None], rows, 0)
+    return [
+        counts.astype(jnp.uint16).reshape(-1),
+        jax.lax.bitcast_convert_type(states, jnp.uint16).reshape(-1),
+        dense.astype(jnp.uint16).reshape(-1),
+    ]
+
+
 def _gmm_freq_fast(sigma, means, weights, mm: int, k: int, center=None):
     """(B, h, w, M*K) GMM params -> (freq (B, M, S, h*w) quantized
     frequency rows in LANE LAYOUT, center (B, M) int32 grid offsets).
@@ -448,6 +486,11 @@ class HESICFastCodec(HESICCodec):
         # run at this canonical padded batch size, in chunks.
         self.codec_batch = codec_batch
         self._fns: dict = {}
+        # settled encode shapes (grid widths, word budgets, pack sizes)
+        # recorded by the last synchronous compress_fast; lets the
+        # pipelined start/finish API dispatch a whole encode with zero
+        # intermediate syncs (verified after the one payload fetch)
+        self._sticky = None
         # Optional jax.sharding.Sharding applied to every batch-led tensor
         # entering the device programs (both directions).  With a
         # NamedSharding over a mesh's data axis the whole codec runs
@@ -596,44 +639,11 @@ class HESICFastCodec(HESICCodec):
             # disk are unchanged.
             def _packd(s1, s2, z1_sym, z2_sym, cap1: int, cap2: int,
                        bucket1: int, bucket2: int):
-                g = _LINK_G
                 parts = []
                 for (words, counts, states), cap, bucket in (
                         (s1, cap1, bucket1), (s2, cap2, bucket2)):
-                    b_, _, lanes_ = words.shape
-                    w = jax.lax.dynamic_slice_in_dim(words, 0, cap,
-                                                     axis=1)
-                    if cap % g:
-                        w = jnp.pad(w, ((0, 0), (0, g - cap % g),
-                                        (0, 0)))
-                        cap += g - cap % g
-                    nl = b_ * lanes_
-                    nb = cap // g
-                    wt = w.transpose(0, 2, 1).reshape(nl * nb, g)
-                    cnt = counts.reshape(-1).astype(jnp.int32)
-                    bcnt = -(-cnt // g)
-                    cumb = jnp.cumsum(bcnt)
-                    k = jnp.arange(bucket // g, dtype=jnp.int32)
-                    # gather, not scatter: TPU scatters without
-                    # uniqueness guarantees lower to a serial loop
-                    lane = jnp.minimum(
-                        jnp.searchsorted(cumb, k, side="right")
-                           .astype(jnp.int32),
-                        nl - 1)
-                    blk = jnp.minimum(k - (cumb[lane] - bcnt[lane]),
-                                      nb - 1)
-                    rows = jnp.take(wt, lane * nb + blk, axis=0)
-                    # zero block padding: deterministic link bytes
-                    wordi = blk[:, None] * g + jax.lax.broadcasted_iota(
-                        jnp.int32, (bucket // g, g), 1)
-                    dense = jnp.where(wordi < cnt[lane][:, None],
-                                      rows, 0)
-                    parts.extend([
-                        counts.astype(jnp.uint16).reshape(-1),
-                        jax.lax.bitcast_convert_type(
-                            states, jnp.uint16).reshape(-1),
-                        dense.astype(jnp.uint16).reshape(-1),
-                    ])
+                    parts.extend(_dense_stream_parts(
+                        words, counts, states, cap, bucket))
                 parts.extend([
                     (z1_sym + 32768).astype(jnp.uint16).reshape(-1),
                     (z2_sym + 32768).astype(jnp.uint16).reshape(-1)])
@@ -645,6 +655,38 @@ class HESICFastCodec(HESICCodec):
                     vec.reshape(-1, 2), jnp.uint32)
 
             fn = jax.jit(_packd, static_argnums=(4, 5, 6, 7))
+
+        elif name == "pack_outputs_async":
+            # pack_outputs_dense PLUS every per-batch statistic the host
+            # reads between dispatch and container assembly (grid
+            # centers, residual spreads, escape counts, dead-channel
+            # bitmaps), so a sticky-shape encode pays exactly ONE device
+            # sync — the payload fetch itself (compress_fast_start).
+            def _packa(s1, s2, z1_sym, z2_sym, dc1, dc2, sp1, sp2,
+                       cap1: int, cap2: int, bucket1: int, bucket2: int):
+                parts = [
+                    (dc1 + 128).astype(jnp.uint16).reshape(-1),
+                    (dc2 + 128).astype(jnp.uint16).reshape(-1),
+                    jnp.clip(jnp.stack([sp1, sp2]), 0,
+                             65535).astype(jnp.uint16),
+                ]
+                for s in (s1, s2):
+                    parts.append(jnp.clip(s[3], 0, 65535)
+                                 .astype(jnp.uint16).reshape(-1))
+                    parts.append(s[4].astype(jnp.uint16).reshape(-1))
+                parts += _dense_stream_parts(*s1[:3], cap1, bucket1)
+                parts += _dense_stream_parts(*s2[:3], cap2, bucket2)
+                parts += [
+                    (z1_sym + 32768).astype(jnp.uint16).reshape(-1),
+                    (z2_sym + 32768).astype(jnp.uint16).reshape(-1)]
+                vec = jnp.concatenate(parts)
+                if vec.shape[0] % 2:
+                    vec = jnp.concatenate(
+                        [vec, jnp.zeros((1,), jnp.uint16)])
+                return jax.lax.bitcast_convert_type(
+                    vec.reshape(-1, 2), jnp.uint32)
+
+            fn = jax.jit(_packa, static_argnums=(8, 9, 10, 11))
 
         else:
             raise KeyError(name)
@@ -1069,7 +1111,25 @@ class HESICFastCodec(HESICCodec):
         z2_np = take(int(np.prod(z2_sym.shape)),
                      z2_sym.shape).astype(np.int32) - 32768
         h_np = np.asarray(h_matrix)
+        # sticky shapes for the pipelined dispatch-only encode path
+        # (compress_fast_start): the settled word budget + pack sizes of
+        # this batch seed the next batch's single-sync dispatch chain
+        self._sticky = {"mm1": mm1, "mm2": mm2, "cap": cap,
+                        "cap1": cap1, "cap2": cap2,
+                        "bucket1": bucket1, "bucket2": bucket2}
+        return self._containers(
+            batch_container, b, lanes, mm1, mm2, win,
+            (x1.shape[1], x1.shape[2]), z1_np, z2_np,
+            outliers1, outliers2, dead1_np, dead2_np,
+            dc1_np, dc2_np, h_np, flat1, c1, st1, flat2, c2, st2,
+            start, t)
 
+    def _containers(self, batch_container, b, lanes, mm1, mm2, win,
+                    x_hw, z1_np, z2_np, outliers1, outliers2,
+                    dead1_np, dead2_np, dc1_np, dc2_np, h_np,
+                    flat1, c1, st1, flat2, c2, st2, start, t):
+        """Container assembly from host-side numpy pieces (shared by the
+        synchronous compress_fast and the pipelined finish path)."""
         from ..entropy_models.codec import compress_with_indexes
         s1_list, s2_list = (
             compress_with_indexes(
@@ -1081,7 +1141,7 @@ class HESICFastCodec(HESICCodec):
                               ("entropy_bottleneck2", z2_np)))
         z_strs = list(zip(s1_list, s2_list))
         t = _tick("enc/z-rans+unpack", t)
-        num_pixels = 2 * x1.shape[1] * x1.shape[2]
+        num_pixels = 2 * x_hw[0] * x_hw[1]
 
         if batch_container:
             # one blob for the whole batch.  The word buffers cross the
@@ -1093,7 +1153,7 @@ class HESICFastCodec(HESICCodec):
             # (pair, lane) order).
             header = bytearray()
             header += bytes([_pmf_backend_id(), mm1, mm2, win])
-            header += np.array([x1.shape[1], x1.shape[2], b, lanes],
+            header += np.array([x_hw[0], x_hw[1], b, lanes],
                                np.uint32).tobytes()
             for z1_str, z2_str in z_strs:
                 for s in (z1_str, z2_str):
@@ -1131,7 +1191,7 @@ class HESICFastCodec(HESICCodec):
             z1_str, z2_str = z_strs[i]
             header = bytearray()
             header += bytes([_pmf_backend_id(), mm1, mm2, win])
-            header += np.array([x1.shape[1], x1.shape[2]],
+            header += np.array([x_hw[0], x_hw[1]],
                                np.uint16).tobytes()
             for s in (z1_str, z2_str):
                 header += np.array([len(s)], np.uint32).tobytes() + s
@@ -1154,6 +1214,158 @@ class HESICFastCodec(HESICCodec):
             "bpp_real": total * 8 / (num_pixels * b),
             "enctime": time.time() - start,
         }
+
+    def compress_fast_start(self, x1, x2, h_matrix):
+        """Dispatch-only half of a pipelined batch encode.
+
+        Issues the ENTIRE encode dispatch chain — transforms,
+        conditioning, stream coding, pack — with no intermediate device
+        sync, using the sticky shapes settled by the last synchronous
+        encode (grid widths mm1/mm2, stream word budget, pack slice caps
+        and link bucket sizes).  Returns a handle for
+        ``compress_fast_finish``, which pays the single payload fetch,
+        verifies the sticky shapes actually held (escape counts, word
+        budgets, bucket totals ride inside the packed vector), and falls
+        back to the exact synchronous path when they did not — so the
+        container is always correct, and between the two calls the
+        caller can overlap host/link work of OTHER batches against this
+        batch's device compute (see bench.py's pipelined loop).
+
+        First call (no sticky state yet) runs the synchronous path and
+        seeds the sticky shapes.
+        """
+        if self._sticky is None:
+            return {"mode": "sync",
+                    "out": self.compress_fast(x1, x2, h_matrix,
+                                              batch_container=True)}
+        st = dict(self._sticky)
+        start = time.time()
+        x1 = self._place(jnp.asarray(x1, jnp.float32))
+        x2 = self._place(jnp.asarray(x2, jnp.float32))
+        if h_matrix is None:
+            h_matrix = jnp.eye(3, dtype=jnp.float32)[None]
+        h_matrix = jnp.asarray(h_matrix, jnp.float32)
+        if h_matrix.shape[0] != x1.shape[0]:
+            h_matrix = jnp.broadcast_to(h_matrix, (x1.shape[0], 3, 3))
+        h_np = np.asarray(h_matrix)
+        win = pick_warp_win(h_np, x1.shape[1], x1.shape[2])
+        h_matrix = self._place(h_matrix)
+        (y1_hat, y2_hat, z1_sym, z2_sym, _wov, dc1, dc2, sp1,
+         sp2) = self._fn("transforms_enc", win)(self.params, x1, x2,
+                                                h_matrix)
+        # centers stay ON DEVICE (the synchronous path round-trips them
+        # through the host only because it needs the spread for the mm
+        # choice; sticky mm removes that dependency — out-of-grid
+        # latents escape-code exactly either way)
+        freq1 = self._cond1(z1_sym, dc1, st["mm1"])
+        freq2, _ = self._cond2(y1_hat, z2_sym, h_matrix, dc2,
+                               st["mm2"], win=win)
+        hw_y = y1_hat.shape[1] * y1_hat.shape[2]
+        ppl = auto_ppl(hw_y, self.ppl)
+        enc1, _ = self._stream_fns(ppl, st["cap"], st["mm1"])
+        enc2, _ = self._stream_fns(ppl, st["cap"], st["mm2"])
+        s1 = enc1(freq1, y1_hat, dc1)
+        s2 = enc2(freq2, y2_hat, dc2)
+        # pack slice widths can't exceed the stream kernels' word dim
+        st["cap1"] = min(st["cap1"], int(s1[0].shape[1]))
+        st["cap2"] = min(st["cap2"], int(s2[0].shape[1]))
+        packed = self._fn("pack_outputs_async")(
+            s1, s2, z1_sym, z2_sym, dc1, dc2, sp1, sp2,
+            st["cap1"], st["cap2"], st["bucket1"], st["bucket2"])
+        _tick("enc/dispatch-all", start)
+        return {
+            "mode": "async", "packed": packed, "st": st, "win": win,
+            "h_np": h_np, "b": int(x1.shape[0]),
+            "lanes": int(s1[1].shape[1]),
+            "x_hw": (int(x1.shape[1]), int(x1.shape[2])),
+            "z_shape": tuple(z1_sym.shape),
+            "y1_hat": y1_hat, "y2_hat": y2_hat, "dc1": dc1, "dc2": dc2,
+            "inputs": (x1, x2, h_matrix), "t0": start,
+        }
+
+    def compress_fast_finish(self, handle):
+        """Fetch + verify + container assembly for a
+        ``compress_fast_start`` handle (batch container)."""
+        if handle["mode"] == "sync":
+            return handle["out"]
+        st = handle["st"]
+        b, lanes = handle["b"], handle["lanes"]
+        m = self.module.M
+        packed = np.asarray(handle["packed"]).view(np.uint16)
+        t = _tick("enc/packed-d2h", handle["t0"])
+        off = 0
+
+        def take(count, shape=None):
+            nonlocal off
+            out = packed[off:off + count]
+            if shape is not None:
+                out = out.reshape(shape)
+            off += count
+            return out
+
+        dc1_np = take(b * m, (b, m)).astype(np.int32) - 128
+        dc2_np = take(b * m, (b, m)).astype(np.int32) - 128
+        sp = take(2).astype(np.int32)
+        over1 = take(b).astype(np.int64)
+        dead1_np = take(b * m, (b, m)) != 0
+        over2 = take(b).astype(np.int64)
+        dead2_np = take(b * m, (b, m)) != 0
+        streams = []
+        for bucket in (st["bucket1"], st["bucket2"]):
+            c = take(b * lanes, (b, lanes)).astype(np.int64)
+            stt = take(2 * b * lanes, (b, lanes, 2)).copy().view(
+                np.uint32)[..., 0]
+            dense = take(bucket)
+            streams.append((c, stt, dense))
+        z_shape = handle["z_shape"]
+        z1_np = take(int(np.prod(z_shape)), z_shape).astype(
+            np.int32) - 32768
+        z2_np = take(int(np.prod(z_shape)), z_shape).astype(
+            np.int32) - 32768
+        (c1, st1, dense1), (c2, st2, dense2) = streams
+
+        # did the sticky shapes hold?  cap: the stream kernel's word
+        # buffer; cap_i: the pack program's slice width; bucket_i: the
+        # block-dense link size.  Any shortfall truncated device-side
+        # data, so redo this batch through the exact synchronous path
+        # (which also re-seeds the sticky shapes).
+        g = _LINK_G
+        need1 = int((-(-c1 // g)).sum()) * g
+        need2 = int((-(-c2 // g)).sum()) * g
+        cap_ok = st["cap"] is None or max(int(c1.max()),
+                                          int(c2.max())) <= st["cap"]
+        if not (cap_ok and int(c1.max()) <= st["cap1"]
+                and int(c2.max()) <= st["cap2"]
+                and need1 <= st["bucket1"] and need2 <= st["bucket2"]):
+            x1, x2, h = handle["inputs"]
+            return self.compress_fast(x1, x2, h, batch_container=True)
+
+        # drift adaptation for FUTURE batches (this batch stays correct
+        # by construction: escapes cover mm, verification covered sizes)
+        mm1n = pick_mm(int(sp[0]), self.mm)
+        mm2n = pick_mm(int(sp[1]), self.mm)
+        self._sticky = {
+            "mm1": mm1n, "mm2": mm2n, "cap": st["cap"],
+            "cap1": max(_bucket_cap(int(c1.max())), 16),
+            "cap2": max(_bucket_cap(int(c2.max())), 16),
+            # 12.5% headroom so mild payload growth doesn't thrash the
+            # fallback path; quarter-pow2 quantized like the sync path
+            "bucket1": -(-_bucket_q4(need1 * 9 // 8) // g) * g,
+            "bucket2": -(-_bucket_q4(need2 * 9 // 8) // g) * g,
+        }
+
+        outliers1 = self._collect_outliers(
+            handle["y1_hat"], over1, handle["dc1"], st["mm1"])
+        outliers2 = self._collect_outliers(
+            handle["y2_hat"], over2, handle["dc2"], st["mm2"])
+        flat1 = _strip_blocks(dense1, c1)
+        flat2 = _strip_blocks(dense2, c2)
+        t = _tick("enc/strip+outliers", t)
+        return self._containers(
+            True, b, lanes, st["mm1"], st["mm2"], handle["win"],
+            handle["x_hw"], z1_np, z2_np, outliers1, outliers2,
+            dead1_np, dead2_np, dc1_np, dc2_np, handle["h_np"],
+            flat1, c1, st1, flat2, c2, st2, handle["t0"], t)
 
     def decompress_fast_batch(self, blob: bytes):
         """Decode a batch-container blob (compress_fast(batch_container=

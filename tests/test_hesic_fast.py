@@ -281,3 +281,58 @@ class TestAdaptiveWarpWin:
         np.testing.assert_array_equal(
             np.asarray(rec["y2_hat"]),
             np.asarray(y2h).astype(np.float32))
+
+
+class TestPipelinedEncode:
+    """compress_fast_start/compress_fast_finish: the dispatch-only encode
+    with sticky shapes must emit byte-identical containers and fall back
+    to the exact path when the sticky shapes stop fitting."""
+
+    def _codec(self, hw=64):
+        module = HESIC(N=16, M=24, K=2)
+        codec = HESICFastCodec.init(
+            module, [(1, hw, hw, 3), (1, hw, hw, 3), (1, 3, 3)])
+        codec.update()
+        return codec
+
+    def _batch(self, seed, b=2, hw=64, scale=1.0):
+        rng = np.random.RandomState(seed)
+        x1 = jnp.asarray(rng.rand(b, hw, hw, 3) * scale, jnp.float32)
+        x2 = jnp.asarray(rng.rand(b, hw, hw, 3) * scale, jnp.float32)
+        h = jnp.tile(jnp.eye(3)[None], (b, 1, 1))
+        return x1, x2, h
+
+    def test_containers_byte_identical_and_sticky(self):
+        codec = self._codec()
+        batches = [self._batch(s) for s in (10, 11, 12)]
+        # seed sticky via the sync path on batch 0
+        handles = [codec.compress_fast_start(*batches[0])]
+        assert handles[0]["mode"] == "sync"
+        for bt in batches[1:]:
+            handles.append(codec.compress_fast_start(*bt))
+            assert handles[-1]["mode"] == "async"
+        for handle, bt in zip(handles, batches):
+            out = codec.compress_fast_finish(handle)
+            ref = codec.compress_fast(*bt, batch_container=True)
+            assert out["blob"] == ref["blob"]
+            rec = codec.decompress_fast_batch(out["blob"])
+            y1 = codec.jit("analysis1")(bt[0])
+            np.testing.assert_array_equal(
+                np.asarray(rec["y1_hat"]), np.round(np.asarray(y1)))
+
+    def test_fallback_on_sticky_overflow(self):
+        codec = self._codec()
+        # seed with a LOW-entropy batch (tiny payload -> tiny buckets)
+        x1, x2, h = self._batch(20)
+        lo = (x1 * 0.05, x2 * 0.05, h)
+        codec.compress_fast_finish(codec.compress_fast_start(*lo))
+        # then a much larger payload: sticky buckets can't fit -> the
+        # finish must detect the truncation and redo the exact path
+        hi = self._batch(21, scale=4.0)
+        out = codec.compress_fast_finish(codec.compress_fast_start(*hi))
+        ref = codec.compress_fast(*hi, batch_container=True)
+        assert out["blob"] == ref["blob"]
+        rec = codec.decompress_fast_batch(out["blob"])
+        y1 = codec.jit("analysis1")(hi[0])
+        np.testing.assert_array_equal(
+            np.asarray(rec["y1_hat"]), np.round(np.asarray(y1)))
