@@ -229,6 +229,31 @@ def _dense_stream_parts(words, counts, states, cap: int, bucket: int):
     ]
 
 
+def _pack_async_vec(s1, s2, z1_sym, z2_sym, dc1, dc2, sp1, sp2,
+                    cap1: int, cap2: int, bucket1: int, bucket2: int):
+    """Packed u32 link vector for the pipelined encode: per-batch
+    statistics (centers, spreads, escape counts, dead bitmaps) followed
+    by the block-dense streams and z symbols (see pack_outputs_async)."""
+    parts = [
+        (dc1 + 128).astype(jnp.uint16).reshape(-1),
+        (dc2 + 128).astype(jnp.uint16).reshape(-1),
+        jnp.clip(jnp.stack([sp1, sp2]), 0, 65535).astype(jnp.uint16),
+    ]
+    for s in (s1, s2):
+        parts.append(jnp.clip(s[3], 0, 65535)
+                     .astype(jnp.uint16).reshape(-1))
+        parts.append(s[4].astype(jnp.uint16).reshape(-1))
+    parts += _dense_stream_parts(*s1[:3], cap1, bucket1)
+    parts += _dense_stream_parts(*s2[:3], cap2, bucket2)
+    parts += [
+        (z1_sym + 32768).astype(jnp.uint16).reshape(-1),
+        (z2_sym + 32768).astype(jnp.uint16).reshape(-1)]
+    vec = jnp.concatenate(parts)
+    if vec.shape[0] % 2:
+        vec = jnp.concatenate([vec, jnp.zeros((1,), jnp.uint16)])
+    return jax.lax.bitcast_convert_type(vec.reshape(-1, 2), jnp.uint32)
+
+
 def _gmm_freq_fast(sigma, means, weights, mm: int, k: int, center=None):
     """(B, h, w, M*K) GMM params -> (freq (B, M, S, h*w) quantized
     frequency rows in LANE LAYOUT, center (B, M) int32 grid offsets).
@@ -662,31 +687,7 @@ class HESICFastCodec(HESICCodec):
             # centers, residual spreads, escape counts, dead-channel
             # bitmaps), so a sticky-shape encode pays exactly ONE device
             # sync — the payload fetch itself (compress_fast_start).
-            def _packa(s1, s2, z1_sym, z2_sym, dc1, dc2, sp1, sp2,
-                       cap1: int, cap2: int, bucket1: int, bucket2: int):
-                parts = [
-                    (dc1 + 128).astype(jnp.uint16).reshape(-1),
-                    (dc2 + 128).astype(jnp.uint16).reshape(-1),
-                    jnp.clip(jnp.stack([sp1, sp2]), 0,
-                             65535).astype(jnp.uint16),
-                ]
-                for s in (s1, s2):
-                    parts.append(jnp.clip(s[3], 0, 65535)
-                                 .astype(jnp.uint16).reshape(-1))
-                    parts.append(s[4].astype(jnp.uint16).reshape(-1))
-                parts += _dense_stream_parts(*s1[:3], cap1, bucket1)
-                parts += _dense_stream_parts(*s2[:3], cap2, bucket2)
-                parts += [
-                    (z1_sym + 32768).astype(jnp.uint16).reshape(-1),
-                    (z2_sym + 32768).astype(jnp.uint16).reshape(-1)]
-                vec = jnp.concatenate(parts)
-                if vec.shape[0] % 2:
-                    vec = jnp.concatenate(
-                        [vec, jnp.zeros((1,), jnp.uint16)])
-                return jax.lax.bitcast_convert_type(
-                    vec.reshape(-1, 2), jnp.uint32)
-
-            fn = jax.jit(_packa, static_argnums=(8, 9, 10, 11))
+            fn = jax.jit(_pack_async_vec, static_argnums=(8, 9, 10, 11))
 
         else:
             raise KeyError(name)
@@ -780,6 +781,54 @@ class HESICFastCodec(HESICCodec):
             for i in range(len(outs[0])))
         return merged if len(merged) > 1 else merged[0]
 
+    def _enc_pack_fn(self, ppl: int, cap, mm1: int, mm2: int,
+                     cap1: int, cap2: int, bucket1: int, bucket2: int):
+        """ONE fused encoder program: both stream encodes + the async
+        pack.  Stream coding and packing are encoder-only (the decoder
+        never shares these executables — only cond1/cond2 must be the
+        same compiled program on both sides), so fusing them is safe
+        and saves two device-program round trips per batch (~35 ms each
+        through the axon tunnel, measured: per-call overhead dominates
+        small programs)."""
+        key = ("enc_pack", ppl, cap, mm1, mm2, cap1, cap2,
+               bucket1, bucket2)
+        if key not in self._fns:
+            @jax.jit
+            def fn(freq1, freq2, y1_hat, y2_hat, dc1, dc2,
+                   z1_sym, z2_sym, sp1, sp2):
+                s1 = _encode_stream(freq1, y1_hat, mm1, dc1, ppl=ppl,
+                                    cap=cap)
+                s2 = _encode_stream(freq2, y2_hat, mm2, dc2, ppl=ppl,
+                                    cap=cap)
+                return _pack_async_vec(s1, s2, z1_sym, z2_sym, dc1, dc2,
+                                       sp1, sp2, cap1, cap2,
+                                       bucket1, bucket2)
+            self._fns[key] = fn
+        return self._fns[key]
+
+    def _dec2_synth_fn(self, ppl: int, mm2: int, win: int, y_shape,
+                       has_corr: bool):
+        """ONE fused decoder program: right-eye stream decode (+ the
+        outlier correction when present) + output synthesis.  All
+        decoder-only stages (cond2 stays a standalone shared
+        executable), fused to save device-program round trips."""
+        key = ("dec2_synth", ppl, mm2, win, tuple(y_shape), has_corr)
+        if key not in self._fns:
+            _, dec = self._stream_fns(ppl, None, mm2)
+            synth = self._fn("synth_out", win)
+            corrf = self._fn("apply_corr")
+
+            @jax.jit
+            def fn(params, freq2, w2, c2, st2, cen2, dead2, aux, h,
+                   corr_mask, corr_vals):
+                y2 = dec(freq2, w2, c2, st2, cen2, tuple(y_shape), dead2)
+                if has_corr:
+                    y2 = corrf(y2, corr_mask, corr_vals)
+                x1_hat, x2_hat = synth(params, aux, y2, h)
+                return y2, x1_hat, x2_hat
+            self._fns[key] = fn
+        return self._fns[key]
+
     def _unpack_fn(self, specs):
         """Jitted splitter: one uint16 vector -> typed decoder inputs.
 
@@ -798,7 +847,11 @@ class HESICFastCodec(HESICCodec):
         fn = self._fns.get(key)
         if fn is None:
             @jax.jit
-            def fn(buf):
+            def fn(buf_u32):
+                # u32 pairs in, u16 stream out (buf_to_u16 folded in:
+                # one fused program instead of two dispatches)
+                buf = jax.lax.bitcast_convert_type(
+                    buf_u32, jnp.uint16).reshape(-1)
                 out = []
                 off = 0
                 for shape, kind in specs:
@@ -1116,7 +1169,8 @@ class HESICFastCodec(HESICCodec):
         # this batch seed the next batch's single-sync dispatch chain
         self._sticky = {"mm1": mm1, "mm2": mm2, "cap": cap,
                         "cap1": cap1, "cap2": cap2,
-                        "bucket1": bucket1, "bucket2": bucket2}
+                        "bucket1": bucket1, "bucket2": bucket2,
+                        "wdim": int(s1[0].shape[1])}
         return self._containers(
             batch_container, b, lanes, mm1, mm2, win,
             (x1.shape[1], x1.shape[2]), z1_np, z2_np,
@@ -1262,21 +1316,20 @@ class HESICFastCodec(HESICCodec):
                                st["mm2"], win=win)
         hw_y = y1_hat.shape[1] * y1_hat.shape[2]
         ppl = auto_ppl(hw_y, self.ppl)
-        enc1, _ = self._stream_fns(ppl, st["cap"], st["mm1"])
-        enc2, _ = self._stream_fns(ppl, st["cap"], st["mm2"])
-        s1 = enc1(freq1, y1_hat, dc1)
-        s2 = enc2(freq2, y2_hat, dc2)
+        lanes = hw_y // ppl
         # pack slice widths can't exceed the stream kernels' word dim
-        st["cap1"] = min(st["cap1"], int(s1[0].shape[1]))
-        st["cap2"] = min(st["cap2"], int(s2[0].shape[1]))
-        packed = self._fn("pack_outputs_async")(
-            s1, s2, z1_sym, z2_sym, dc1, dc2, sp1, sp2,
-            st["cap1"], st["cap2"], st["bucket1"], st["bucket2"])
+        st["cap1"] = min(st["cap1"], st["wdim"])
+        st["cap2"] = min(st["cap2"], st["wdim"])
+        packed = self._enc_pack_fn(
+            ppl, st["cap"], st["mm1"], st["mm2"],
+            st["cap1"], st["cap2"], st["bucket1"], st["bucket2"])(
+            freq1, freq2, y1_hat, y2_hat, dc1, dc2,
+            z1_sym, z2_sym, sp1, sp2)
         _tick("enc/dispatch-all", start)
         return {
             "mode": "async", "packed": packed, "st": st, "win": win,
             "h_np": h_np, "b": int(x1.shape[0]),
-            "lanes": int(s1[1].shape[1]),
+            "lanes": lanes,
             "x_hw": (int(x1.shape[1]), int(x1.shape[2])),
             "z_shape": tuple(z1_sym.shape),
             "y1_hat": y1_hat, "y2_hat": y2_hat, "dc1": dc1, "dc2": dc2,
@@ -1346,6 +1399,7 @@ class HESICFastCodec(HESICCodec):
         mm2n = pick_mm(int(sp[1]), self.mm)
         self._sticky = {
             "mm1": mm1n, "mm2": mm2n, "cap": st["cap"],
+            "wdim": st["wdim"],
             "cap1": max(_bucket_cap(int(c1.max())), 16),
             "cap2": max(_bucket_cap(int(c2.max())), 16),
             # 12.5% headroom so mild payload growth doesn't thrash the
@@ -1447,7 +1501,7 @@ class HESICFastCodec(HESICCodec):
             (z2_np + 32768).astype(np.uint16).reshape(-1)])
         if buf.size % 2:
             buf = np.concatenate([buf, np.zeros(1, np.uint16)])
-        buf_dev = self._fn("buf_to_u16")(jnp.asarray(buf.view(np.uint32)))
+        buf_dev = jnp.asarray(buf.view(np.uint32))
         z_shape4 = z1_np.shape
         specs = [
             ((b, lanes), "c"), ((b, lanes), "u"),
@@ -1488,10 +1542,16 @@ class HESICFastCodec(HESICCodec):
                                 corr1, dead1, mm1)
         freq2, aux = self._cond2(y1_hat, z2_sym, h_matrix, cen2, mm2,
                                  win=win)
-        y2_hat = self._decode_y(freq2, w2d, c2d, st2d, cen2, y_shape,
-                                corr2, dead2, mm2)
-        x1_hat, x2_hat = self._fn("synth_out", win)(self.params, aux,
-                                                    y2_hat, h_matrix)
+        # right-eye decode + correction + synthesis as ONE fused
+        # decoder-only program (cond2 above stays the shared executable)
+        ppl = (y_shape[0] * y_shape[1]) // c2d.shape[1]
+        zero = jnp.zeros((), jnp.int32)
+        y2_hat, x1_hat, x2_hat = self._dec2_synth_fn(
+            ppl, mm2, win, y_shape, corr2 is not None)(
+            self.params, freq2, w2d, c2d, st2d, cen2, dead2, aux,
+            h_matrix,
+            corr2[0] if corr2 is not None else zero,
+            corr2[1] if corr2 is not None else zero)
         return {
             "x1_hat": x1_hat,
             "x2_hat": x2_hat,
@@ -1590,7 +1650,7 @@ class HESICFastCodec(HESICCodec):
         ])
         if buf.size % 2:
             buf = np.concatenate([buf, np.zeros(1, np.uint16)])
-        buf_dev = self._fn("buf_to_u16")(jnp.asarray(buf.view(np.uint32)))
+        buf_dev = jnp.asarray(buf.view(np.uint32))
         h_matrix = jnp.asarray(np.stack(h_list))
 
         b = len(blobs)

@@ -116,3 +116,64 @@ class TestHomographyNet:
         patch_b = img[:, :16, :16, :]
         loss = photometric_loss(delta, img, patch_b, corners)
         assert np.isfinite(float(loss))
+
+
+class TestBandedMxuWarp:
+    """warp_perspective_mxu with the banded x contraction (pick_warp_xwin)
+    must be bit-identical to the full-width contraction: the one-hot
+    window only drops all-zero terms, and overflowed taps are counted."""
+
+    def _src(self, b=2, hw=128):
+        rng = np.random.RandomState(3)
+        return jnp.asarray(rng.rand(b, hw, hw, 3), jnp.float32)
+
+    def test_banded_bit_identical(self):
+        import jax.numpy as jnp2
+        from hesic_tpu.geometry.fast_warp import (pick_warp_win,
+                                                  pick_warp_xwin,
+                                                  warp_perspective_mxu)
+        src = self._src()
+        hw = src.shape[1]
+        cases = {
+            "identity": np.tile(np.eye(3, dtype=np.float32)[None], (2, 1, 1)),
+            "shift": np.array([[[1, 0, 5.3], [0, 1, -3.7], [0, 0, 1]]] * 2,
+                              np.float32),
+            "proj": np.array([[[1.002, 0.004, 2.1], [-0.003, 0.998, 1.2],
+                               [1e-5, -2e-5, 1]]] * 2, np.float32),
+        }
+        for name, hmat in cases.items():
+            m = jnp.asarray(hmat)
+            win = pick_warp_win(hmat, hw, hw)
+            xw = pick_warp_xwin(hmat, hw, hw, xblock=64)
+            assert xw is not None, name
+            for cd in (jnp2.float32, jnp2.bfloat16):
+                full, of_f = warp_perspective_mxu(src, m, (hw, hw), win,
+                                                  8, cd)
+                band, of_b = warp_perspective_mxu(src, m, (hw, hw), win,
+                                                  8, cd, xwin=xw,
+                                                  xblock=64)
+                np.testing.assert_array_equal(np.asarray(full),
+                                              np.asarray(band),
+                                              err_msg=f"{name}/{cd}")
+                assert int(of_b) == 0 and int(of_f) == 0
+
+    def test_banded_ragged_width(self):
+        from hesic_tpu.geometry.fast_warp import (pick_warp_xwin,
+                                                  warp_perspective_mxu)
+        rng = np.random.RandomState(4)
+        src = jnp.asarray(rng.rand(1, 96, 200, 3), jnp.float32)
+        m = jnp.asarray(np.eye(3, dtype=np.float32)[None])
+        xw = pick_warp_xwin(np.asarray(m), 96, 200, xblock=64)
+        full, _ = warp_perspective_mxu(src, m, (96, 200), 16, 8,
+                                       jnp.float32)
+        band, ovf = warp_perspective_mxu(src, m, (96, 200), 16, 8,
+                                         jnp.float32, xwin=xw, xblock=64)
+        np.testing.assert_array_equal(np.asarray(full), np.asarray(band))
+        assert int(ovf) == 0
+
+    def test_pick_xwin_fallback_on_big_shift(self):
+        from hesic_tpu.geometry.fast_warp import (_XSHIFT_BOUND,
+                                                  pick_warp_xwin)
+        h = np.array([[[1, 0, -(_XSHIFT_BOUND + 60.0)], [0, 1, 0],
+                       [0, 0, 1]]], np.float32)
+        assert pick_warp_xwin(h, 512, 512) is None
