@@ -631,9 +631,10 @@ def main():
     # 197 bf16 TFLOP/s.
     # FLOPs at the warp window the bench actually ran (identity H ->
     # win=16; win=64 would overcount the warp and inflate MFU)
-    from hesic_tpu.geometry.fast_warp import pick_warp_win
+    from hesic_tpu.geometry.fast_warp import pick_warp_win, pick_warp_xwin
     extra = _mfu_fields(codec, hw, pairs_per_sec,
-                        win=pick_warp_win(np.asarray(h), hw, hw))
+                        win=pick_warp_win(np.asarray(h), hw, hw),
+                        xwin=pick_warp_xwin(np.asarray(h), hw, hw))
 
     print(json.dumps({
         "metric": f"stereo_pairs_per_sec_{hw}px_encdec",

@@ -41,9 +41,9 @@ class DSICFastCodec(DSICCodec, HESICFastCodec):
         HESICFastCodec.__init__(self, module, params, mm=mm, lanes=lanes,
                                 codec_batch=codec_batch)
 
-    def _fn(self, name: str, win: int = 64):
-        # DSIC has no homography warp; `win` is accepted for interface
-        # compatibility and ignored
+    def _fn(self, name: str, win: int = 64, xwin=None):
+        # DSIC has no homography warp; `win`/`xwin` are accepted for
+        # interface compatibility and ignored
         if name in self._fns:
             return self._fns[name]
         module, mm = self.module, self.mm
@@ -92,11 +92,11 @@ class DSICFastCodec(DSICCodec, HESICFastCodec):
 
         else:
             # cond1 / streams / packing are model-agnostic
-            return HESICFastCodec._fn(self, name, win)
+            return HESICFastCodec._fn(self, name, win, xwin)
         self._fns[name] = fn
         return fn
 
-    def _cond_fns(self, mm: int, win: int = 64):
+    def _cond_fns(self, mm: int, win: int = 64, xwin=None):
         """DSIC's cond2 is simpler than HESIC's: gmm2 conditions on the
         un-warped decoded left latent (mynet6.py:662); aux = the float
         left latent for synth_out."""

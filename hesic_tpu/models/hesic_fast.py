@@ -74,14 +74,15 @@ def _use_pallas() -> bool:
     return jax.default_backend() == "tpu"
 
 from ..geometry import warp_perspective
-from ..geometry.fast_warp import pick_warp_win, warp_perspective_mxu
+from ..geometry.fast_warp import (pick_warp_win, pick_warp_xwin,
+                                  warp_perspective_mxu)
 from .hesic_codec import HESICCodec
 
 MM_DEFAULT = 32       # symbol grid half-width
 LANES_DEFAULT = 1024  # interleaved rANS lanes
 
 
-_PMF_FORMAT_V2 = 2
+_PMF_FORMAT_V3 = 3
 
 _TIMING = __import__("os").environ.get("HESIC_TIMING", "") == "1"
 
@@ -104,21 +105,25 @@ def _pmf_backend_id() -> int:
     (codecs/det_math.py): the Mosaic kernel and the plain-XLA path
     produce bit-equal frequency tables on the same backend, so streams
     are interchangeable between the two paths and the byte only
-    versions the quantization recipe."""
-    return _PMF_FORMAT_V2
+    versions the quantization recipe.  v3 adds the banded-warp window
+    byte (xwin/16, 0 = full-width) after the warp-window byte — like
+    `win`, it selects the shared conditioning executable, so it must be
+    stored, not re-derived from a possibly different decode grouping."""
+    return _PMF_FORMAT_V3
 
 
 def _check_pmf_backend(blob: bytes) -> int:
     """Validate the container's format byte; returns the number of
     header bytes consumed (1)."""
     tag = blob[0]
-    if tag != _PMF_FORMAT_V2:
-        names = {0: "pre-v2 xla-erfc", 1: "pre-v2 pallas-erfc"}
+    if tag != _PMF_FORMAT_V3:
+        names = {0: "pre-v2 xla-erfc", 1: "pre-v2 pallas-erfc",
+                 2: "v2 (no banded-warp byte)"}
         raise ValueError(
             f"fast container has PMF format "
             f"{names.get(tag, f'unknown({tag})')} but this build reads "
-            f"format v2 (deterministic PMF pipeline); re-encode with "
-            f"this build")
+            f"format v3 (deterministic PMF pipeline + banded-warp "
+            f"window byte); re-encode with this build")
     return 1
 
 
@@ -554,13 +559,14 @@ class HESICFastCodec(HESICCodec):
             return None                     # guaranteed bound in-kernel
         return max(64, -(-n_ch * ppl * 5 // 16 // 16) * 16)
 
-    def _fn(self, name: str, win: int = 64):
+    def _fn(self, name: str, win: int = 64, xwin=None):
         # programs containing a homography warp are additionally keyed
-        # by the static warp window (pick_warp_win): the x-contraction's
-        # MXU FLOPs scale with `win`, and near-rectified homographies
-        # need 16 rows, not 64
-        key = (name, win) if name in ("transforms_enc", "synth_out") \
-            else name
+        # by the static warp windows (pick_warp_win / pick_warp_xwin):
+        # the x-contraction's MXU FLOPs scale with `win`, and the banded
+        # x window cuts the in-program marginal warp cost ~6x (measured
+        # 37 -> 5.9 ms at 512^2 batch 64)
+        key = (name, win, xwin) if name in ("transforms_enc",
+                                            "synth_out") else name
         if key in self._fns:
             return self._fns[key]
         name = key if isinstance(key, str) else key[0]
@@ -584,7 +590,8 @@ class HESICFastCodec(HESICCodec):
                 med1 = params["entropy_bottleneck1"]["quantiles"][:, 0, 1]
                 z1_sym = jnp.round(z1 - med1).astype(jnp.int32)
                 y1_hat = jnp.round(y1).astype(jnp.int32)
-                x1_warp, wov = warp_perspective_mxu(x1, h, size, win)
+                x1_warp, wov = warp_perspective_mxu(x1, h, size, win,
+                                                    xwin=xwin)
                 y2 = apply(params, "analysis2", x1_warp, x2)
                 z2 = apply(params, "hyper_analysis2", y2)
                 med2 = params["entropy_bottleneck2"]["quantiles"][:, 0, 1]
@@ -617,7 +624,7 @@ class HESICFastCodec(HESICCodec):
                 x1_hat = aux
                 size = (x1_hat.shape[1], x1_hat.shape[2])
                 x1_hat_warp, _ = warp_perspective_mxu(x1_hat, h, size,
-                                                      win)
+                                                      win, xwin=xwin)
                 x2_hat = apply(params, "synthesis2",
                                y2_hat.astype(jnp.float32), x1_hat_warp)
                 return x1_hat, x2_hat
@@ -694,7 +701,7 @@ class HESICFastCodec(HESICCodec):
         self._fns[key] = fn
         return fn
 
-    def _cond_fns(self, mm: int, win: int = 64):
+    def _cond_fns(self, mm: int, win: int = 64, xwin=None):
         """(cond1, cond2) shared conditioning programs for a grid width
         and warp window.
 
@@ -706,7 +713,7 @@ class HESICFastCodec(HESICCodec):
         is re-derived by the decoder from the container's H bytes
         (pick_warp_win is deterministic f64 numpy), so both sides always
         run the same compiled cond2."""
-        key = ("cond", mm, win)
+        key = ("cond", mm, win, xwin)
         if key not in self._fns:
             module = self.module
 
@@ -729,7 +736,7 @@ class HESICFastCodec(HESICCodec):
                                y1_hat.astype(jnp.float32))
                 size = (x1_hat.shape[1], x1_hat.shape[2])
                 x1_warp_ac, _ = warp_perspective_mxu(x1_hat, h, size,
-                                                     win)
+                                                     win, xwin=xwin)
                 y1_prior = jnp.round(
                     apply(params, "analysis1", x1_warp_ac))
                 med2 = params["entropy_bottleneck2"]["quantiles"][:, 0, 1]
@@ -749,8 +756,8 @@ class HESICFastCodec(HESICCodec):
             lambda zp, cp: cond1(self.params, zp, cp), (z1_sym, center))
 
     def _cond2(self, y1_hat, z2_sym, h_matrix, center, mm: int,
-               win: int = 64):
-        _, cond2 = self._cond_fns(mm, win)
+               win: int = 64, xwin=None):
+        _, cond2 = self._cond_fns(mm, win, xwin)
         return self._run_canonical(
             lambda yp, zp, hp, cp: cond2(self.params, yp, zp, hp, cp),
             (y1_hat, z2_sym, h_matrix, center))
@@ -807,15 +814,16 @@ class HESICFastCodec(HESICCodec):
         return self._fns[key]
 
     def _dec2_synth_fn(self, ppl: int, mm2: int, win: int, y_shape,
-                       has_corr: bool):
+                       has_corr: bool, xwin=None):
         """ONE fused decoder program: right-eye stream decode (+ the
         outlier correction when present) + output synthesis.  All
         decoder-only stages (cond2 stays a standalone shared
         executable), fused to save device-program round trips."""
-        key = ("dec2_synth", ppl, mm2, win, tuple(y_shape), has_corr)
+        key = ("dec2_synth", ppl, mm2, win, tuple(y_shape), has_corr,
+               xwin)
         if key not in self._fns:
             _, dec = self._stream_fns(ppl, None, mm2)
-            synth = self._fn("synth_out", win)
+            synth = self._fn("synth_out", win, xwin)
             corrf = self._fn("apply_corr")
 
             @jax.jit
@@ -1002,7 +1010,7 @@ class HESICFastCodec(HESICCodec):
         return jax.ShapeDtypeStruct((b, h_img, w_img, 3), jnp.float32)
 
     def device_flops(self, h_img: int, w_img: int, cap: int = 32,
-                     win: int = 64) -> dict:
+                     win: int = 64, xwin=None) -> dict:
         """XLA cost-analysis FLOPs for one enc+dec roundtrip.
 
         Lowers the fast-codec device programs at the codec's canonical
@@ -1045,17 +1053,17 @@ class HESICFastCodec(HESICCodec):
         dead = sd((b, m), jnp.bool_)
         aux = self._synth_aux_sd(b, h_img, w_img)
 
-        cond1, cond2 = self._cond_fns(mm, win)
+        cond1, cond2 = self._cond_fns(mm, win, xwin)
         enc, dec = self._stream_fns(ppl, cap, mm)
         progs = {
-            "transforms_enc": (self._fn("transforms_enc", win),
+            "transforms_enc": (self._fn("transforms_enc", win, xwin),
                                (self.params, x, x, hm), {}),
             "cond1": (cond1, (self.params, z, center), {}),
             "cond2": (cond2, (self.params, y, z, hm, center), {}),
             "encode_stream": (enc, (freq, y, center), {}),
             "decode_stream": (dec, (freq, words, counts, states, center,
                                     (hy, wy), dead), {}),
-            "synth_out": (self._fn("synth_out", win),
+            "synth_out": (self._fn("synth_out", win, xwin),
                           (self.params, aux, y, hm), {}),
         }
         per = {}
@@ -1084,13 +1092,14 @@ class HESICFastCodec(HESICCodec):
         h_matrix = jnp.asarray(h_matrix, jnp.float32)
         if h_matrix.shape[0] != x1.shape[0]:
             h_matrix = jnp.broadcast_to(h_matrix, (x1.shape[0], 3, 3))
-        win = pick_warp_win(np.asarray(h_matrix),
-                            x1.shape[1], x1.shape[2])
+        h_np0 = np.asarray(h_matrix)
+        win = pick_warp_win(h_np0, x1.shape[1], x1.shape[2])
+        xw = pick_warp_xwin(h_np0, x1.shape[1], x1.shape[2])
         h_matrix = self._place(h_matrix)
 
         (y1_hat, y2_hat, z1_sym, z2_sym, _wov, dc1, dc2, sp1,
-         sp2) = self._fn("transforms_enc", win)(self.params, x1, x2,
-                                                h_matrix)
+         sp2) = self._fn("transforms_enc", win, xw)(self.params, x1,
+                                                    x2, h_matrix)
         # tiny sync: residual spreads pick the per-eye grid-width bucket,
         # data centers ride the container as i8 (like the reference's
         # per-image minmax, newnet1.py:873-906)
@@ -1104,7 +1113,7 @@ class HESICFastCodec(HESICCodec):
         cen2 = self._place(jnp.asarray(dc2_np))
         freq1 = self._cond1(z1_sym, cen1, mm1)
         freq2, _ = self._cond2(y1_hat, z2_sym, h_matrix, cen2, mm2,
-                               win=win)
+                               win=win, xwin=xw)
 
         hw_y = y1_hat.shape[1] * y1_hat.shape[2]
         ppl = auto_ppl(hw_y, self.ppl)
@@ -1172,14 +1181,14 @@ class HESICFastCodec(HESICCodec):
                         "bucket1": bucket1, "bucket2": bucket2,
                         "wdim": int(s1[0].shape[1])}
         return self._containers(
-            batch_container, b, lanes, mm1, mm2, win,
+            batch_container, b, lanes, mm1, mm2, win, xw,
             (x1.shape[1], x1.shape[2]), z1_np, z2_np,
             outliers1, outliers2, dead1_np, dead2_np,
             dc1_np, dc2_np, h_np, flat1, c1, st1, flat2, c2, st2,
             start, t)
 
     def _containers(self, batch_container, b, lanes, mm1, mm2, win,
-                    x_hw, z1_np, z2_np, outliers1, outliers2,
+                    xwin, x_hw, z1_np, z2_np, outliers1, outliers2,
                     dead1_np, dead2_np, dc1_np, dc2_np, h_np,
                     flat1, c1, st1, flat2, c2, st2, start, t):
         """Container assembly from host-side numpy pieces (shared by the
@@ -1206,7 +1215,8 @@ class HESICFastCodec(HESICCodec):
             # stream (counts u16, states u32, flat words u16 in
             # (pair, lane) order).
             header = bytearray()
-            header += bytes([_pmf_backend_id(), mm1, mm2, win])
+            header += bytes([_pmf_backend_id(), mm1, mm2, win,
+                             0 if xwin is None else xwin // 16])
             header += np.array([x_hw[0], x_hw[1], b, lanes],
                                np.uint32).tobytes()
             for z1_str, z2_str in z_strs:
@@ -1244,7 +1254,8 @@ class HESICFastCodec(HESICCodec):
         for i in range(b):
             z1_str, z2_str = z_strs[i]
             header = bytearray()
-            header += bytes([_pmf_backend_id(), mm1, mm2, win])
+            header += bytes([_pmf_backend_id(), mm1, mm2, win,
+                             0 if xwin is None else xwin // 16])
             header += np.array([x_hw[0], x_hw[1]],
                                np.uint16).tobytes()
             for s in (z1_str, z2_str):
@@ -1303,17 +1314,18 @@ class HESICFastCodec(HESICCodec):
             h_matrix = jnp.broadcast_to(h_matrix, (x1.shape[0], 3, 3))
         h_np = np.asarray(h_matrix)
         win = pick_warp_win(h_np, x1.shape[1], x1.shape[2])
+        xw = pick_warp_xwin(h_np, x1.shape[1], x1.shape[2])
         h_matrix = self._place(h_matrix)
         (y1_hat, y2_hat, z1_sym, z2_sym, _wov, dc1, dc2, sp1,
-         sp2) = self._fn("transforms_enc", win)(self.params, x1, x2,
-                                                h_matrix)
+         sp2) = self._fn("transforms_enc", win, xw)(self.params, x1, x2,
+                                                    h_matrix)
         # centers stay ON DEVICE (the synchronous path round-trips them
         # through the host only because it needs the spread for the mm
         # choice; sticky mm removes that dependency — out-of-grid
         # latents escape-code exactly either way)
         freq1 = self._cond1(z1_sym, dc1, st["mm1"])
         freq2, _ = self._cond2(y1_hat, z2_sym, h_matrix, dc2,
-                               st["mm2"], win=win)
+                               st["mm2"], win=win, xwin=xw)
         hw_y = y1_hat.shape[1] * y1_hat.shape[2]
         ppl = auto_ppl(hw_y, self.ppl)
         lanes = hw_y // ppl
@@ -1328,7 +1340,7 @@ class HESICFastCodec(HESICCodec):
         _tick("enc/dispatch-all", start)
         return {
             "mode": "async", "packed": packed, "st": st, "win": win,
-            "h_np": h_np, "b": int(x1.shape[0]),
+            "xwin": xw, "h_np": h_np, "b": int(x1.shape[0]),
             "lanes": lanes,
             "x_hw": (int(x1.shape[1]), int(x1.shape[2])),
             "z_shape": tuple(z1_sym.shape),
@@ -1417,7 +1429,8 @@ class HESICFastCodec(HESICCodec):
         t = _tick("enc/strip+outliers", t)
         return self._containers(
             True, b, lanes, st["mm1"], st["mm2"], handle["win"],
-            handle["x_hw"], z1_np, z2_np, outliers1, outliers2,
+            handle["xwin"], handle["x_hw"], z1_np, z2_np,
+            outliers1, outliers2,
             dead1_np, dead2_np, dc1_np, dc2_np, handle["h_np"],
             flat1, c1, st1, flat2, c2, st2, handle["t0"], t)
 
@@ -1429,7 +1442,8 @@ class HESICFastCodec(HESICCodec):
         start = time.time()
         off = _check_pmf_backend(blob)
         mm1, mm2, win = blob[off], blob[off + 1], blob[off + 2]
-        off += 3
+        xwin = blob[off + 3] * 16 or None
+        off += 4
         hdr = np.frombuffer(blob, np.uint32, 4, off)
         h_img, w_img, b, lanes = (int(v) for v in hdr)
         off += 16
@@ -1516,7 +1530,8 @@ class HESICFastCodec(HESICCodec):
         return self._finish_decode(c1d, st1d, w1d, c2d, st2d, w2d, z1_sym,
                                    z2_sym, h_matrix, y_shape, start,
                                    corr1, corr2, dead1, dead2,
-                                   cen1, cen2, mm1, mm2, win=win)
+                                   cen1, cen2, mm1, mm2, win=win,
+                                   xwin=xwin)
 
     def _place(self, t):
         """Apply the optional batch-axis sharding (no-op by default)."""
@@ -1528,7 +1543,7 @@ class HESICFastCodec(HESICCodec):
     def _finish_decode(self, c1d, st1d, w1d, c2d, st2d, w2d, z1_sym,
                        z2_sym, h_matrix, y_shape, start,
                        corr1, corr2, dead1, dead2, cen1, cen2,
-                       mm1: int, mm2: int, win: int = 64):
+                       mm1: int, mm2: int, win: int = 64, xwin=None):
         if self.placement is not None:
             (c1d, st1d, w1d, c2d, st2d, w2d, z1_sym, z2_sym,
              h_matrix, dead1, dead2, cen1, cen2) = (
@@ -1541,13 +1556,13 @@ class HESICFastCodec(HESICCodec):
         y1_hat = self._decode_y(freq1, w1d, c1d, st1d, cen1, y_shape,
                                 corr1, dead1, mm1)
         freq2, aux = self._cond2(y1_hat, z2_sym, h_matrix, cen2, mm2,
-                                 win=win)
+                                 win=win, xwin=xwin)
         # right-eye decode + correction + synthesis as ONE fused
         # decoder-only program (cond2 above stays the shared executable)
         ppl = (y_shape[0] * y_shape[1]) // c2d.shape[1]
         zero = jnp.zeros((), jnp.int32)
         y2_hat, x1_hat, x2_hat = self._dec2_synth_fn(
-            ppl, mm2, win, y_shape, corr2 is not None)(
+            ppl, mm2, win, y_shape, corr2 is not None, xwin)(
             self.params, freq2, w2d, c2d, st2d, cen2, dead2, aux,
             h_matrix,
             corr2[0] if corr2 is not None else zero,
@@ -1572,17 +1587,20 @@ class HESICFastCodec(HESICCodec):
         y_shape = None
         mm1 = mm2 = None
         cen1_l, cen2_l = [], []
-        win = None
+        win = xwin = None
+        first = True
         for blob in blobs:
             off = _check_pmf_backend(blob)
             mm1, mm2, blob_win = blob[off], blob[off + 1], blob[off + 2]
-            if win is not None and blob_win != win:
+            blob_xwin = blob[off + 3] * 16 or None
+            if not first and (blob_win, blob_xwin) != (win, xwin):
                 raise ValueError(
                     "per-pair blobs in one decompress_fast call must "
-                    f"share a warp window (got {win} and {blob_win}); "
-                    "decode them in separate calls")
-            win = blob_win
-            off += 3
+                    f"share warp windows (got {(win, xwin)} and "
+                    f"{(blob_win, blob_xwin)}); decode them in "
+                    "separate calls")
+            win, xwin, first = blob_win, blob_xwin, False
+            off += 4
             x_shape = np.frombuffer(blob, np.uint16, 2, off)
             off += 4
             z_strs = []
@@ -1673,7 +1691,8 @@ class HESICFastCodec(HESICCodec):
         return self._finish_decode(c1d, st1d, w1d, c2d, st2d, w2d, z1_sym,
                                    z2_sym, h_matrix, y_shape, start,
                                    corr1, corr2, dead1, dead2,
-                                   cen1, cen2, mm1, mm2, win=win)
+                                   cen1, cen2, mm1, mm2, win=win,
+                                   xwin=xwin)
 
     # ---- z-path host helpers (symbols already centered) ----
 

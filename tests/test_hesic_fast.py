@@ -220,9 +220,9 @@ class TestPplLaneFolding:
                                codec_batch=1)
         codec.update()
         out = codec.compress_fast(x1, x2, h, batch_container=True)
-        # header: format u8 | mm1 u8 | mm2 u8 | win u8 | u32 h, w, b,
-        # lanes
-        lanes = int(np.frombuffer(out["blob"], np.uint32, 4, 4)[3])
+        # header: format u8 | mm1 u8 | mm2 u8 | win u8 | xwin/16 u8 |
+        # u32 h, w, b, lanes
+        lanes = int(np.frombuffer(out["blob"], np.uint32, 4, 5)[3])
         assert lanes == 128  # 256 positions / ppl 2
         rec = codec.decompress_fast_batch(out["blob"])
         y1h, y2h = codec._fn("transforms_enc")(codec.params, x1, x2, h)[:2]
