@@ -336,3 +336,32 @@ class TestPipelinedEncode:
         y1 = codec.jit("analysis1")(hi[0])
         np.testing.assert_array_equal(
             np.asarray(rec["y1_hat"]), np.round(np.asarray(y1)))
+
+
+class TestBandedWarpInCodec:
+    def test_256_roundtrip_uses_banded_window(self):
+        """At >=256-wide images the codec picks a banded x window
+        (header byte 4 nonzero) and the roundtrip stays bit-exact; the
+        decoder runs the STORED window, so decode grouping cannot
+        change the shared executable."""
+        rng = np.random.RandomState(11)
+        x1 = jnp.asarray(rng.rand(1, 256, 256, 3), jnp.float32)
+        x2 = jnp.asarray(rng.rand(1, 256, 256, 3), jnp.float32)
+        h = jnp.asarray(np.array(
+            [[1, 0, 3.5], [0, 1, -2.0], [0, 0, 1]], np.float32)[None])
+        module = HESIC(N=8, M=16, K=2)
+        codec = HESICFastCodec.init(module, [x1.shape, x2.shape, h.shape])
+        codec = HESICFastCodec(codec.module, codec.params, mm=8,
+                               codec_batch=1)
+        codec.update()
+        out = codec.compress_fast(x1, x2, h, batch_container=True)
+        from hesic_tpu.geometry.fast_warp import pick_warp_xwin
+        want = pick_warp_xwin(np.asarray(h), 256, 256)
+        assert want is not None
+        assert out["blob"][4] == want // 16
+        rec = codec.decompress_fast_batch(out["blob"])
+        y1h = codec._fn("transforms_enc", 16, want)(
+            codec.params, x1, x2, h)[0]
+        np.testing.assert_array_equal(
+            np.asarray(rec["y1_hat"]),
+            np.asarray(y1h).astype(np.float32))
