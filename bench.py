@@ -585,10 +585,33 @@ def main():
                                    codec_batch=batch)
     codec.update()
 
-    h = jnp.tile(jnp.eye(3, dtype=jnp.float32)[None], (batch, 1, 1))
-    xs = [_smooth_pair(rng, hw) for _ in range(batch)]
-    x1 = jnp.asarray(np.concatenate([p[0] for p in xs]))
-    x2 = jnp.asarray(np.concatenate([p[1] for p in xs]))
+    # Homography: identity by default; BENCH_H=real uses a realistic
+    # InStereo2K-like H (small rotation + shift — real capture rigs are
+    # never exactly identity, datasets/utils.py:30-67), which selects a
+    # wider warp window and exercises the warp at its real cost.
+    if os.environ.get("BENCH_H", "") == "real":
+        th = np.deg2rad(1.5)
+        h_np = np.array([[np.cos(th), -np.sin(th), 6.0],
+                         [np.sin(th), np.cos(th), -4.0],
+                         [0.0, 0.0, 1.0]], np.float32)
+        h = jnp.tile(jnp.asarray(h_np)[None], (batch, 1, 1))
+    else:
+        h = jnp.tile(jnp.eye(3, dtype=jnp.float32)[None], (batch, 1, 1))
+
+    # DISTINCT data between timed iterations: the sticky-shape fast path
+    # must absorb real payload-size drift (or pay the measured fallback),
+    # not re-encode one memorized batch (VERDICT r4 weak #3).  The pool
+    # lives on device (pre-uploaded, untimed — a serving host feeds
+    # images over PCIe, not this debug tunnel) and is capped at 4
+    # batches (~1.6 GB HBM at 512² batch 64) cycled across iterations.
+    pool_n = min(n_batches, int(os.environ.get("BENCH_POOL", "4")))
+    pool = []
+    for _ in range(pool_n):
+        xs = [_smooth_pair(rng, hw) for _ in range(batch)]
+        pool.append((jnp.asarray(np.concatenate([p[0] for p in xs])),
+                     jnp.asarray(np.concatenate([p[1] for p in xs]))))
+    pool = [pool[i % pool_n] for i in range(n_batches)]
+    x1, x2 = pool[0]
 
     # warmup: compile both directions (the sync call also seeds the
     # sticky shapes; the start/finish pair compiles the async pack)
@@ -607,16 +630,20 @@ def main():
     #   1: two-thread pipeline (encode on a worker thread)
     #   0: strictly sequential enc->dec loop (diagnostic)
     mode = os.environ.get("BENCH_PIPELINE", "2")
+    fallbacks = 0
+    bpps = []
     if mode == "2":
         start = time.time()
-        h_enc = codec.compress_fast_start(x1, x2, h)
+        h_enc = codec.compress_fast_start(*pool[0], h)
         prev = None
         for i in range(n_batches):
             if prev is not None:
                 rec = codec.decompress_fast_batch(prev)
             out = codec.compress_fast_finish(h_enc)
+            fallbacks += 1 if out.get("fallback") else 0
+            bpps.append(float(out["bpp_real"]))
             if i + 1 < n_batches:
-                h_enc = codec.compress_fast_start(x1, x2, h)
+                h_enc = codec.compress_fast_start(*pool[i + 1], h)
             prev = out["blob"]
         rec = codec.decompress_fast_batch(prev)
         jax.block_until_ready(rec["x2_hat"])
@@ -625,11 +652,13 @@ def main():
         from concurrent.futures import ThreadPoolExecutor
         ex = ThreadPoolExecutor(1)
         start = time.time()
-        fut = ex.submit(codec.compress_fast, x1, x2, h, True)
+        fut = ex.submit(codec.compress_fast, *pool[0], h, True)
         for i in range(n_batches):
             out = fut.result()
+            bpps.append(float(out["bpp_real"]))
             if i + 1 < n_batches:
-                fut = ex.submit(codec.compress_fast, x1, x2, h, True)
+                fut = ex.submit(codec.compress_fast, *pool[i + 1], h,
+                                True)
             rec = codec.decompress_fast_batch(out["blob"])
         jax.block_until_ready(rec["x2_hat"])
         elapsed = time.time() - start
@@ -637,7 +666,8 @@ def main():
     else:
         start = time.time()
         for i in range(n_batches):
-            out = codec.compress_fast(x1, x2, h, True)
+            out = codec.compress_fast(*pool[i], h, True)
+            bpps.append(float(out["bpp_real"]))
             rec = codec.decompress_fast_batch(out["blob"])
         jax.block_until_ready(rec["x2_hat"])
         elapsed = time.time() - start
@@ -652,16 +682,57 @@ def main():
     extra = _mfu_fields(codec, hw, pairs_per_sec,
                         win=pick_warp_win(np.asarray(h), hw, hw),
                         xwin=pick_warp_xwin(np.asarray(h), hw, hw))
+    extra.update(_link_ceiling_fields(codec, batch, pairs_per_sec))
 
     print(json.dumps({
         "metric": f"stereo_pairs_per_sec_{hw}px_encdec",
         "value": round(pairs_per_sec, 3),
         "unit": "pairs/s/chip",
         "vs_baseline": round(pairs_per_sec / BASELINE_PAIRS_PER_SEC, 3),
-        "bpp_real": round(float(out["bpp_real"]), 4),
+        "bpp_real": round(float(np.mean(bpps)), 4),
+        "fallbacks": fallbacks,
+        "batches": n_batches,
+        **({"h": "real"} if os.environ.get("BENCH_H") == "real" else {}),
         **({"ckpt": os.path.basename(ckpt)} if ckpt else {}),
         **extra,
     }))
+
+
+def _link_ceiling_fields(codec, batch: int, pairs_per_sec: float) -> dict:
+    """Arithmetic host-link ceiling published next to the achieved
+    number (VERDICT r4 item #1): the loop's payload sizes (measured from
+    the codec's own last transfers) divided by the link bandwidth
+    measured RIGHT NOW with raw same-size transfers.  The tunnel's
+    bandwidth swings ~±30% day to day, so the ceiling is only meaningful
+    measured at bench time."""
+    import sys
+
+    import jax
+    try:
+        d2h_b = int(codec.last_link_bytes["d2h"])
+        h2d_b = int(codec.last_link_bytes["h2d"])
+        host = np.zeros(d2h_b // 4, np.uint32)
+        dev = jax.device_put(host)
+        jax.block_until_ready(dev)
+        t0 = time.time()
+        np.asarray(dev)
+        d2h_s = time.time() - t0
+        host2 = np.zeros(h2d_b // 4, np.uint32)
+        t0 = time.time()
+        jax.block_until_ready(jax.device_put(host2))
+        h2d_s = time.time() - t0
+        ceiling = batch / (d2h_s + h2d_s)
+        return {
+            "link_d2h_mbps": round(d2h_b / d2h_s / 1e6, 1),
+            "link_h2d_mbps": round(h2d_b / h2d_s / 1e6, 1),
+            "link_bytes_d2h": d2h_b,
+            "link_bytes_h2d": h2d_b,
+            "link_ceiling_pairs_per_sec": round(ceiling, 1),
+            "pct_of_link_ceiling": round(100 * pairs_per_sec / ceiling, 1),
+        }
+    except Exception as e:  # pragma: no cover - depends on backend
+        print(f"link ceiling probe failed: {e!r}", file=sys.stderr)
+        return {}
 
 
 if __name__ == "__main__":

@@ -2,7 +2,8 @@
 
 from .rans import (BufferedRansEncoder, RangeDecoder, RangeEncoder,
                    RansDecoder, RansEncoder, pmf_to_quantized_cdf,
-                   pmf_to_quantized_cdf_batch, rans_decode_with_rows,
+                   pmf_to_quantized_cdf_batch, rans_decode_batch,
+                   rans_decode_with_rows, rans_encode_batch,
                    rans_encode_with_rows)
 
 __all__ = [
@@ -13,6 +14,8 @@ __all__ = [
     "RansEncoder",
     "pmf_to_quantized_cdf",
     "pmf_to_quantized_cdf_batch",
+    "rans_decode_batch",
     "rans_decode_with_rows",
+    "rans_encode_batch",
     "rans_encode_with_rows",
 ]

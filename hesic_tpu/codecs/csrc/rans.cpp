@@ -459,6 +459,88 @@ int64_t hesic_rans_decode_with_indexes(const uint8_t* data, int64_t nbytes,
   return n;
 }
 
+// ---- rANS, batched multi-stream API ----
+//
+// The flagship batch container codes B pairs x 2 eyes of z latents as 2B
+// INDEPENDENT streams sharing one CDF table and one broadcast index vector
+// (channel id per element).  Encoding them as one native call removes the
+// per-stream Python dispatch loop from the encode hot path (the reference
+// has no batch concept at all — entropy_models.py:188-195 marshals one
+// Python list per image).
+
+// symbols: (n_streams, n_per) row-major; indexes: (n_per,) shared.
+// out: (n_streams, cap_per) row-major; out_lens: (n_streams,).
+// Returns 0 on success, -needed_cap if any stream outgrew cap_per,
+// -1 bad index, -3 invalid CDFs under HESIC_DEBUG.
+int64_t hesic_rans_encode_batch(const int32_t* symbols, const int32_t* indexes,
+                                int64_t n_per, int32_t n_streams,
+                                const int32_t* cdfs, int32_t cdf_stride,
+                                const int32_t* cdf_sizes,
+                                const int32_t* offsets, int32_t ncdfs,
+                                uint8_t* out, int64_t cap_per,
+                                int64_t* out_lens) {
+  if (!cdfs_valid(cdfs, cdf_stride, cdf_sizes, ncdfs)) return -3;
+  // hoist the per-element index validation + cdf row lookup: the index
+  // vector is shared by every stream
+  std::vector<const int32_t*> rows(n_per);
+  std::vector<int32_t> sizes(n_per), offs(n_per);
+  for (int64_t i = 0; i < n_per; ++i) {
+    const int32_t idx = indexes[i];
+    if (idx < 0 || idx >= ncdfs) return -1;
+    rows[i] = cdfs + static_cast<size_t>(idx) * cdf_stride;
+    sizes[i] = cdf_sizes[idx];
+    offs[i] = offsets[idx];
+  }
+  std::vector<Buffered> buf;
+  buf.reserve(static_cast<size_t>(n_per) + 16);
+  for (int32_t s = 0; s < n_streams; ++s) {
+    buf.clear();
+    const int32_t* sym = symbols + static_cast<size_t>(s) * n_per;
+    for (int64_t i = 0; i < n_per; ++i)
+      buffer_symbol(buf, sym[i] - offs[i], rows[i], sizes[i]);
+    const int64_t n = flush_buffer(
+        buf, out + static_cast<size_t>(s) * cap_per, cap_per);
+    if (n < 0) return n;  // -needed: caller retries with a bigger cap
+    out_lens[s] = n;
+  }
+  return 0;
+}
+
+// data: one buffer holding every stream (e.g. the whole container blob);
+// begins/ends: (n_streams,) byte extents of each stream inside it (streams
+// may interleave with other container sections).  out: (n_streams, n_per).
+int64_t hesic_rans_decode_batch(const uint8_t* data, const int64_t* begins,
+                                const int64_t* ends, const int32_t* indexes,
+                                int64_t n_per, int32_t n_streams,
+                                const int32_t* cdfs, int32_t cdf_stride,
+                                const int32_t* cdf_sizes,
+                                const int32_t* offsets, int32_t ncdfs,
+                                int32_t* out) {
+  if (!cdfs_valid(cdfs, cdf_stride, cdf_sizes, ncdfs)) return -3;
+  std::vector<const int32_t*> rows(n_per);
+  std::vector<int32_t> sizes(n_per), offs(n_per);
+  for (int64_t i = 0; i < n_per; ++i) {
+    const int32_t idx = indexes[i];
+    if (idx < 0 || idx >= ncdfs) return -1;
+    rows[i] = cdfs + static_cast<size_t>(idx) * cdf_stride;
+    sizes[i] = cdf_sizes[idx];
+    offs[i] = offsets[idx];
+  }
+  for (int32_t s = 0; s < n_streams; ++s) {
+    const int64_t lo = begins[s], hi = ends[s];
+    const int64_t nbytes = hi - lo;
+    if (nbytes < 8 || (nbytes % 4) != 0) return -1;
+    RansState rans;
+    WordSource src{reinterpret_cast<const uint32_t*>(data + lo),
+                   reinterpret_cast<const uint32_t*>(data + hi)};
+    rans_dec_init(rans, src);
+    int32_t* dst = out + static_cast<size_t>(s) * n_per;
+    for (int64_t i = 0; i < n_per; ++i)
+      dst[i] = decode_symbol(rans, src, rows[i], sizes[i]) + offs[i];
+  }
+  return n_per * n_streams;
+}
+
 // ---- rANS, per-symbol CDF rows (device-computed tables, no escapes) ----
 
 // Each symbol i draws from its own row cdf_rows[i] of `row_len` entries

@@ -70,6 +70,14 @@ def compress_with_indexes(symbols: np.ndarray, indexes: np.ndarray,
     indexes = np.asarray(indexes)
     if symbols.shape != indexes.shape:
         raise ValueError("`symbols` and `indexes` must have the same shape")
+    b = symbols.shape[0]
+    if b > 1 and indexes.strides[0] == 0:
+        # every batch item shares one index pattern (the broadcast-array
+        # common case): ONE native call encodes all b streams, removing
+        # the per-stream Python dispatch loop from the hot path
+        return codecs.rans_encode_batch(
+            symbols.reshape(b, -1), indexes[0].reshape(-1),
+            tables.quantized_cdf, tables.cdf_length, tables.offset)
     enc = codecs.RansEncoder()
     return [
         enc.encode_with_indexes(symbols[i].reshape(-1),
@@ -86,6 +94,14 @@ def decompress_with_indexes(strings: list[bytes], indexes: np.ndarray,
     indexes = np.asarray(indexes)
     if len(strings) != indexes.shape[0]:
         raise ValueError("one string per batch item expected")
+    b = indexes.shape[0]
+    if b > 1 and indexes.strides[0] == 0:
+        data = b"".join(strings)
+        ends = np.cumsum([len(s) for s in strings], dtype=np.int64)
+        begins = np.concatenate([[0], ends[:-1]])
+        return decode_streams_batch(
+            data, begins, ends, indexes[0].reshape(-1), tables
+        ).reshape(indexes.shape)
     dec = codecs.RansDecoder()
     out = np.empty(indexes.shape, np.int32)
     for i, s in enumerate(strings):
@@ -93,3 +109,14 @@ def decompress_with_indexes(strings: list[bytes], indexes: np.ndarray,
             s, indexes[i].reshape(-1), tables.quantized_cdf,
             tables.cdf_length, tables.offset).reshape(indexes[i].shape)
     return out
+
+
+def decode_streams_batch(data: bytes, begins, ends, indexes_1d,
+                         tables: CdfTables) -> np.ndarray:
+    """Decode n independent streams at [begins[i], ends[i]) inside `data`
+    (e.g. a whole container blob) in ONE native call; each stream yields
+    `indexes_1d.size` symbols.  Returns (n, n_per) int32."""
+    indexes_1d = np.asarray(indexes_1d).reshape(-1)
+    return codecs.rans_decode_batch(
+        data, begins, ends, indexes_1d, indexes_1d.size,
+        tables.quantized_cdf, tables.cdf_length, tables.offset)

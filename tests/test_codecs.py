@@ -293,3 +293,70 @@ class TestReferenceStreamFixtures:
             out.append(dec.decode_stream(indexes[lo:lo + 97], cdfs, sizes,
                                          offsets))
         np.testing.assert_array_equal(np.concatenate(out), symbols)
+
+
+class TestRansBatch:
+    """Batched multi-stream API: one native call over n independent
+    streams must emit byte-identical streams to n per-stream calls and
+    decode them from arbitrary byte extents inside one buffer."""
+
+    def _setup(self, seed=0, n_streams=6, n_per=700, n_cdfs=8):
+        rng = np.random.RandomState(seed)
+        cdfs, sizes, offsets = [], [], []
+        for _ in range(n_cdfs):
+            length = rng.randint(4, 32)
+            cdf = _make_gaussian_cdf(rng.uniform(0.3, 8.0), length)
+            cdfs.append(cdf)
+            sizes.append(len(cdf))
+            offsets.append(-(length // 2))
+        indexes = rng.randint(0, n_cdfs, size=n_per).astype(np.int32)
+        lo = np.array([offsets[k] for k in indexes])
+        hi = np.array([offsets[k] + sizes[k] - 2 for k in indexes])
+        symbols = rng.randint(lo - 2, hi + 3).astype(np.int32)
+        symbols = np.stack([np.roll(symbols, s) for s in range(n_streams)])
+        return symbols, indexes, cdfs, sizes, offsets
+
+    def test_batch_encode_matches_per_stream(self):
+        from hesic_tpu.codecs import rans_encode_batch
+        symbols, indexes, cdfs, sizes, offsets = self._setup()
+        streams = rans_encode_batch(symbols, indexes, cdfs, sizes, offsets)
+        enc = RansEncoder()
+        for s in range(symbols.shape[0]):
+            ref = enc.encode_with_indexes(symbols[s], indexes, cdfs,
+                                          sizes, offsets)
+            assert streams[s] == ref
+
+    def test_batch_decode_from_blob_extents(self):
+        from hesic_tpu.codecs import rans_decode_batch, rans_encode_batch
+        symbols, indexes, cdfs, sizes, offsets = self._setup(seed=4)
+        streams = rans_encode_batch(symbols, indexes, cdfs, sizes, offsets)
+        # interleave with junk sections, as in a real container blob
+        blob, begins, ends = bytearray(b"hdr"), [], []
+        for s in streams:
+            begins.append(len(blob))
+            blob += s
+            ends.append(len(blob))
+            blob += b"\xAA" * 7
+        out = rans_decode_batch(bytes(blob), begins, ends, indexes,
+                                indexes.size, cdfs, sizes, offsets)
+        np.testing.assert_array_equal(out, symbols)
+
+    def test_codec_helpers_use_batch_path(self):
+        from hesic_tpu.entropy_models.codec import (
+            CdfTables, compress_with_indexes, decompress_with_indexes)
+        symbols, indexes, cdfs, sizes, offsets = self._setup(seed=5)
+        stride = max(sizes)
+        table = np.zeros((len(cdfs), stride), np.int32)
+        for i, c in enumerate(cdfs):
+            table[i, : len(c)] = c
+        tables = CdfTables(table, np.asarray(sizes, np.int32),
+                           np.asarray(offsets, np.int32))
+        idx_b = np.broadcast_to(indexes, symbols.shape)   # stride-0 rows
+        strings = compress_with_indexes(symbols, idx_b, tables)
+        # per-stream reference bytes
+        enc = RansEncoder()
+        for s in range(symbols.shape[0]):
+            assert strings[s] == enc.encode_with_indexes(
+                symbols[s], indexes, cdfs, sizes, offsets)
+        out = decompress_with_indexes(strings, idx_b, tables)
+        np.testing.assert_array_equal(out, symbols)
