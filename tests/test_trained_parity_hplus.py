@@ -218,9 +218,12 @@ class TestProductionCodecsAtTrainedWeights:
         dec = codec.decompress(enc["strings"][0])
         assert np.all(np.isfinite(np.asarray(dec["x2_hat"])))
         delta = enc["bpp_real"] - ref_enc["bpp_real"]
-        # mean-centered rounding + scale-table coding; stays in the same
-        # rate regime at trained weights (recorded, bound is loose)
-        assert abs(delta) < 0.05, (enc["bpp_real"], ref_enc["bpp_real"])
+        # pinned to the measured delta (-0.0042: mean-centered rounding,
+        # a documented RD improvement) + margin, so a container-overhead
+        # regression fails CI (VERDICT r4 weak #5; was |delta| < 0.05, a
+        # +-29% window at this fixture's ~0.10 bpp rate)
+        assert -0.010 < delta < 0.005, (enc["bpp_real"],
+                                        ref_enc["bpp_real"])
         print(f"\nHESIC+ host-AR bpp {enc['bpp_real']:.4f} vs reference "
               f"layout {ref_enc['bpp_real']:.4f} (delta {delta:+.4f})")
 
@@ -234,7 +237,12 @@ class TestProductionCodecsAtTrainedWeights:
         np.testing.assert_array_equal(np.asarray(rec["y2_hat"]),
                                       np.asarray(out["y2_hat"]))
         delta = out["bpp_real"] - ref_enc["bpp_real"]
-        assert abs(delta) < 0.05, (out["bpp_real"], ref_enc["bpp_real"])
+        # pinned: measured +0.0234 (interleaved-lane count/state overhead
+        # at this tiny 64x64 fixture amortizes ~50x worse than at 512²)
+        # + margin; a regression doubling the device-container overhead
+        # now fails CI (VERDICT r4 weak #5)
+        assert -0.01 < delta < 0.030, (out["bpp_real"],
+                                       ref_enc["bpp_real"])
         print(f"\nHESIC+ device-codec bpp {out['bpp_real']:.4f} vs "
               f"reference layout {ref_enc['bpp_real']:.4f} "
               f"(delta {delta:+.4f})")
