@@ -613,8 +613,22 @@ def main():
     pool = [pool[i % pool_n] for i in range(n_batches)]
     x1, x2 = pool[0]
 
-    # warmup: compile both directions (the sync call also seeds the
-    # sticky shapes; the start/finish pair compiles the async pack)
+    # warmup: compile both directions.  Every DISTINCT pool batch goes
+    # through the sync path once so all data-selected executables (mm
+    # buckets, pack caps) are compiled before the timed loop — a
+    # mid-loop fallback then costs a sync re-encode, never a fresh
+    # remote XLA compile (which at ~30-60 s would swamp a 6-batch run,
+    # as the first BENCH_H=real attempt showed).  Steady-state serving
+    # has all bucket executables warm for the same reason.
+    for p1, p2 in pool[:pool_n]:
+        out = codec.compress_fast(p1, p2, h, batch_container=True)
+    # one untimed pipelined epoch over the pool: compiles the
+    # sticky-derived pack keys along the same drift path the timed
+    # loop will take
+    for p1, p2 in pool[:pool_n]:
+        codec.compress_fast_finish(codec.compress_fast_start(p1, p2, h))
+    # byte-identity check: sync(x1,x2) seeds the sticky shapes, so the
+    # pipelined re-encode of the SAME batch must reproduce the container
     out = codec.compress_fast(x1, x2, h, batch_container=True)
     out2 = codec.compress_fast_finish(codec.compress_fast_start(x1, x2, h))
     assert out2["blob"] == out["blob"], "pipelined encode diverged"
@@ -633,17 +647,22 @@ def main():
     fallbacks = 0
     bpps = []
     if mode == "2":
+        # dispatch order per iteration: decode(i-1) -> encode(i+1) ->
+        # fetch(i).  Both compute chains are queued BEHIND the streaming
+        # payload fetch, so the link time and the post-fetch host
+        # container work overlap device compute instead of idle time.
         start = time.time()
         h_enc = codec.compress_fast_start(*pool[0], h)
         prev = None
         for i in range(n_batches):
             if prev is not None:
                 rec = codec.decompress_fast_batch(prev)
+            nxt = (codec.compress_fast_start(*pool[i + 1], h)
+                   if i + 1 < n_batches else None)
             out = codec.compress_fast_finish(h_enc)
             fallbacks += 1 if out.get("fallback") else 0
             bpps.append(float(out["bpp_real"]))
-            if i + 1 < n_batches:
-                h_enc = codec.compress_fast_start(*pool[i + 1], h)
+            h_enc = nxt
             prev = out["blob"]
         rec = codec.decompress_fast_batch(prev)
         jax.block_until_ready(rec["x2_hat"])

@@ -98,6 +98,26 @@ def _tick(label: str, t0: float) -> float:
     return t1
 
 
+_SYNC_TICKS = __import__("os").environ.get("HESIC_SYNC", "") == "1"
+
+
+def _sync_tick(label: str, t0: float, arr) -> float:
+    """HESIC_SYNC=1 diagnostic: force a REAL device sync after a program
+    dispatch (block_until_ready can return early through the axon
+    tunnel — fetching one element cannot) and print the wall time since
+    t0.  Adds ~35 ms tunnel overhead per tick, so this mode is for
+    attributing device time between programs, never for headline
+    numbers."""
+    if not _SYNC_TICKS:
+        return t0
+    import jax.numpy as _jnp
+    np.asarray(_jnp.ravel(arr)[:1])
+    t1 = time.time()
+    print(f"    [sync] {label:<24s} {1e3 * (t1 - t0):7.1f} ms",
+          flush=True)
+    return t1
+
+
 def _pmf_backend_id() -> int:
     """Container format-version byte (was a backend byte through r3).
 
@@ -1429,13 +1449,16 @@ class HESICFastCodec(HESICCodec):
         (y1_hat, y2_hat, z1_sym, z2_sym, _wov, dc1, dc2, sp1,
          sp2) = self._fn("transforms_enc", win, xw)(self.params, x1, x2,
                                                     h_matrix)
+        ts = _sync_tick("enc/transforms", start, y2_hat)
         # centers stay ON DEVICE (the synchronous path round-trips them
         # through the host only because it needs the spread for the mm
         # choice; sticky mm removes that dependency — out-of-grid
         # latents escape-code exactly either way)
         freq1 = self._cond1(z1_sym, dc1, st["mm1"])
+        ts = _sync_tick("enc/cond1", ts, freq1)
         freq2, _ = self._cond2(y1_hat, z2_sym, h_matrix, dc2,
                                st["mm2"], win=win, xwin=xw)
+        ts = _sync_tick("enc/cond2", ts, freq2)
         hw_y = y1_hat.shape[1] * y1_hat.shape[2]
         ppl = auto_ppl(hw_y, self.ppl)
         lanes = hw_y // ppl
@@ -1449,6 +1472,7 @@ class HESICFastCodec(HESICCodec):
             st["zbits"])(
             freq1, freq2, y1_hat, y2_hat, dc1, dc2,
             z1_sym, z2_sym, sp1, sp2)
+        _sync_tick("enc/streams+pack", ts, packed)
         # start the d2h stream NOW: by the time compress_fast_finish
         # reads the buffer, the transfer has been overlapping whatever
         # the caller dispatched in between (decode of the previous
@@ -1477,8 +1501,10 @@ class HESICFastCodec(HESICCodec):
         st = handle["st"]
         b, lanes = handle["b"], handle["lanes"]
         m = self.module.M
+        t_fetch = time.time()
         packed = np.asarray(handle["packed"]).view(np.uint16)
         self.last_link_bytes["d2h"] = packed.size * 2
+        _tick("enc/fetch-block", t_fetch)
         t = _tick("enc/packed-d2h", handle["t0"])
         off = 0
 
@@ -1665,6 +1691,7 @@ class HESICFastCodec(HESICCodec):
         ]
         unpack = self._unpack_fn(tuple((tuple(s), k) for s, k in specs))
         (c1d, st1d, w1d, c2d, st2d, w2d, z1_sym, z2_sym) = unpack(buf_dev)
+        _sync_tick("dec/h2d+unpack", t, z2_sym)
         _tick("dec/h2d+unpack-dispatch", t)
         return self._finish_decode(c1d, st1d, w1d, c2d, st2d, w2d, z1_sym,
                                    z2_sym, h_matrix, y_shape, start,
@@ -1691,11 +1718,15 @@ class HESICFastCodec(HESICCodec):
                      h_matrix, dead1, dead2, cen1, cen2))
             corr1 = tuple(self._place(t) for t in corr1) if corr1 else corr1
             corr2 = tuple(self._place(t) for t in corr2) if corr2 else corr2
+        ts = time.time()
         freq1 = self._cond1(z1_sym, cen1, mm1)
+        ts = _sync_tick("dec/cond1", ts, freq1)
         y1_hat = self._decode_y(freq1, w1d, c1d, st1d, cen1, y_shape,
                                 corr1, dead1, mm1)
+        ts = _sync_tick("dec/decode-y1", ts, y1_hat)
         freq2, aux = self._cond2(y1_hat, z2_sym, h_matrix, cen2, mm2,
                                  win=win, xwin=xwin)
+        ts = _sync_tick("dec/cond2", ts, freq2)
         # right-eye decode + correction + synthesis as ONE fused
         # decoder-only program (cond2 above stays the shared executable)
         ppl = (y_shape[0] * y_shape[1]) // c2d.shape[1]
@@ -1706,6 +1737,7 @@ class HESICFastCodec(HESICCodec):
             h_matrix,
             corr2[0] if corr2 is not None else zero,
             corr2[1] if corr2 is not None else zero)
+        _sync_tick("dec/dec2+synth", ts, x2_hat)
         return {
             "x1_hat": x1_hat,
             "x2_hat": x2_hat,
