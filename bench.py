@@ -645,6 +645,7 @@ def main():
     #   0: strictly sequential enc->dec loop (diagnostic)
     mode = os.environ.get("BENCH_PIPELINE", "2")
     fallbacks = 0
+    fb_reasons = []
     bpps = []
     if mode == "2":
         # dispatch order per iteration: decode(i-1) -> encode(i+1) ->
@@ -660,7 +661,9 @@ def main():
             nxt = (codec.compress_fast_start(*pool[i + 1], h)
                    if i + 1 < n_batches else None)
             out = codec.compress_fast_finish(h_enc)
-            fallbacks += 1 if out.get("fallback") else 0
+            if out.get("fallback"):
+                fallbacks += 1
+                fb_reasons.append(out.get("fallback_reason", "?"))
             bpps.append(float(out["bpp_real"]))
             h_enc = nxt
             prev = out["blob"]
@@ -710,6 +713,7 @@ def main():
         "vs_baseline": round(pairs_per_sec / BASELINE_PAIRS_PER_SEC, 3),
         "bpp_real": round(float(np.mean(bpps)), 4),
         "fallbacks": fallbacks,
+        **({"fallback_reasons": fb_reasons} if fb_reasons else {}),
         "batches": n_batches,
         **({"h": "real"} if os.environ.get("BENCH_H") == "real" else {}),
         **({"ckpt": os.path.basename(ckpt)} if ckpt else {}),

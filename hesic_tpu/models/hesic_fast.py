@@ -163,6 +163,10 @@ def _bucket_cap(c: int) -> int:
     return max(16, -(-c // 16) * 16)
 
 
+_STICKY_DECAY = 32
+"""Clean batches between sticky high-watermark decays (and the length
+of the byte-packing hold after a z nibble-range overflow)."""
+
 _LINK_G = 16
 """Words per block in link-payload compaction.
 
@@ -599,6 +603,12 @@ class HESICFastCodec(HESICCodec):
         # pipelined start/finish API dispatch a whole encode with zero
         # intermediate syncs (verified after the one payload fetch)
         self._sticky = None
+        # high-watermark state for the sticky pack sizes: clean-batch
+        # counter (watermarks decay every _STICKY_DECAY clean batches so
+        # one pathological batch doesn't inflate the link forever) and
+        # the nibble-packing hold-off armed by a z-range overflow
+        self._clean_batches = 0
+        self._z8_hold = 0
         # observability: byte sizes of the last packed link transfers
         # (bench.py publishes the arithmetic link ceiling from these)
         self.last_link_bytes = {"d2h": 0, "h2d": 0}
@@ -1299,17 +1309,20 @@ class HESICFastCodec(HESICCodec):
                      z2_sym.shape).astype(np.int32) - 32768
         h_np = np.asarray(h_matrix)
         # sticky shapes for the pipelined dispatch-only encode path
-        # (compress_fast_start): the settled word budget + pack sizes of
-        # this batch seed the next batch's single-sync dispatch chain
-        z_both = (int(min(z1_np.min(), z2_np.min())),
-                  int(max(z1_np.max(), z2_np.max()))) if z1_np.size \
-            else (0, 0)
-        self._sticky = {"mm1": mm1, "mm2": mm2, "cap": cap,
-                        "cap1": cap1, "cap2": cap2,
-                        "bucket1": bucket1, "bucket2": bucket2,
-                        "wdim": int(s1[0].shape[1]),
-                        "zbits": 4 if (-8 <= z_both[0]
-                                       and z_both[1] <= 7) else 8}
+        # (compress_fast_start): the settled word budget + pack sizes
+        # of this batch, with headroom + watermark (_update_sticky),
+        # seed the next batch's single-sync dispatch chain.  This
+        # batch's own pack stays tight (cap1/cap2/bucket* above) — the
+        # headroom only affects future pipelined batches.
+        z_fit = (not z1_np.size
+                 or (-8 <= int(min(z1_np.min(), z2_np.min()))
+                     and int(max(z1_np.max(), z2_np.max())) <= 7))
+        g = _LINK_G
+        self._update_sticky(
+            mm1, mm2, cap, int(s1[0].shape[1]),
+            int(c1.max()), int(c2.max()),
+            int((-(-c1 // g)).sum()) * g, int((-(-c2 // g)).sum()) * g,
+            z_fit)
         return self._containers(
             batch_container, b, lanes, mm1, mm2, win, xw,
             (x1.shape[1], x1.shape[2]), z1_np, z2_np,
@@ -1408,6 +1421,52 @@ class HESICFastCodec(HESICCodec):
             "blob": blobs[0],
             "bpp_real": total * 8 / (num_pixels * b),
             "enctime": time.time() - start,
+        }
+
+    def _update_sticky(self, mm1, mm2, cap, wdim, c1max, c2max,
+                       need1, need2, z_fit):
+        """Seed the sticky shapes for the NEXT pipelined encode.
+
+        Capacities get 12.5% headroom and RATCHET against the previous
+        sticky values (high-watermark): under realistic inputs the
+        payload sizes vary batch to batch — a tight re-seed measured
+        3/6 fallbacks at BENCH_H=real (each one a full synchronous
+        re-encode, 19.8 pairs/s vs ~120 at identity H) because every
+        batch whose max lane count crossed the previous batch's 16-word
+        bucket thrashed the fallback path.  A watermark converges to
+        the workload envelope instead.  The watermarks decay every
+        ``_STICKY_DECAY`` clean batches (re-derived from the current
+        batch alone), bounding the link-padding waste a single
+        pathological batch can cause; cap1/cap2 only widen an
+        in-program slice (link bytes are sized by the buckets), so
+        their cost is compile-count only.  A z nibble-range overflow
+        arms a ``_STICKY_DECAY``-batch hold on 4-bit packing (zbits=8)
+        so an oscillating workload doesn't alternate overflow-
+        fallbacks with premature re-narrowing."""
+        g = _LINK_G
+        prev = self._sticky or {}
+        self._clean_batches += 1
+        decay = self._clean_batches % _STICKY_DECAY == 0
+
+        def mark(val, key):
+            pv = prev.get(key)
+            return val if (decay or pv is None) else max(val, pv)
+
+        if not z_fit:
+            self._z8_hold = _STICKY_DECAY
+        elif self._z8_hold:
+            self._z8_hold -= 1
+        self._sticky = {
+            "mm1": mm1, "mm2": mm2, "cap": cap, "wdim": wdim,
+            "cap1": min(mark(_bucket_cap(c1max * 9 // 8), "cap1"),
+                        wdim),
+            "cap2": min(mark(_bucket_cap(c2max * 9 // 8), "cap2"),
+                        wdim),
+            "bucket1": mark(-(-_bucket_q4(need1 * 9 // 8) // g) * g,
+                            "bucket1"),
+            "bucket2": mark(-(-_bucket_q4(need2 * 9 // 8) // g) * g,
+                            "bucket2"),
+            "zbits": 4 if (z_fit and not self._z8_hold) else 8,
         }
 
     def compress_fast_start(self, x1, x2, h_matrix):
@@ -1560,27 +1619,37 @@ class HESICFastCodec(HESICCodec):
                 and int(c2.max()) <= st["cap2"]
                 and need1 <= st["bucket1"] and need2 <= st["bucket2"]
                 and int(sp[2]) == 0):
+            reasons = []
+            if not cap_ok:
+                reasons.append("word-budget")
+            if int(c1.max()) > st["cap1"]:
+                reasons.append("cap1")
+            if int(c2.max()) > st["cap2"]:
+                reasons.append("cap2")
+            if need1 > st["bucket1"]:
+                reasons.append("bucket1")
+            if need2 > st["bucket2"]:
+                reasons.append("bucket2")
+            if int(sp[2]) != 0:
+                reasons.append("z-range")
+                # arm the byte-packing hold BEFORE the sync re-encode
+                # re-seeds the sticky state, so the next batches don't
+                # immediately re-narrow to nibbles and thrash
+                self._z8_hold = _STICKY_DECAY
             x1, x2, h = handle["inputs"]
             out = self.compress_fast(x1, x2, h, batch_container=True)
             out["fallback"] = True
+            out["fallback_reason"] = "+".join(reasons)
             return out
 
         # drift adaptation for FUTURE batches (this batch stays correct
         # by construction: escapes cover mm, verification covered sizes)
-        mm1n = pick_mm(int(sp[0]), self.mm)
-        mm2n = pick_mm(int(sp[1]), self.mm)
-        self._sticky = {
-            "mm1": mm1n, "mm2": mm2n, "cap": st["cap"],
-            "wdim": st["wdim"],
-            "cap1": max(_bucket_cap(int(c1.max())), 16),
-            "cap2": max(_bucket_cap(int(c2.max())), 16),
-            # 12.5% headroom so mild payload growth doesn't thrash the
-            # fallback path; quarter-pow2 quantized like the sync path
-            "bucket1": -(-_bucket_q4(need1 * 9 // 8) // g) * g,
-            "bucket2": -(-_bucket_q4(need2 * 9 // 8) // g) * g,
-            "zbits": 4 if (zn == 0 or (-8 <= int(z_all.min())
-                                       and int(z_all.max()) <= 7)) else 8,
-        }
+        z_fit = zn == 0 or (-8 <= int(z_all.min())
+                            and int(z_all.max()) <= 7)
+        self._update_sticky(
+            pick_mm(int(sp[0]), self.mm), pick_mm(int(sp[1]), self.mm),
+            st["cap"], st["wdim"], int(c1.max()), int(c2.max()),
+            need1, need2, z_fit)
 
         outliers1 = self._collect_outliers(
             handle["y1_hat"], over1, handle["dc1"], st["mm1"])

@@ -392,3 +392,86 @@ class TestMixedBlobGuards:
             assert np.all(np.isfinite(np.asarray(rec["x2_hat"])))
         with pytest.raises(ValueError, match="grid widths"):
             codec.decompress_fast([blob_lo, blob_hi])
+
+
+class TestStickyWatermark:
+    """Headroom + high-watermark sticky sizing (_update_sticky): under
+    varying payload sizes the pipelined path must converge to the
+    workload envelope instead of thrashing the fallback — a tight
+    re-seed measured 3 fallbacks in 6 batches at BENCH_H=real (19.8
+    pairs/s vs ~120 at identity H)."""
+
+    def _codec(self, hw=64):
+        module = HESIC(N=16, M=24, K=2)
+        codec = HESICFastCodec.init(
+            module, [(1, hw, hw, 3), (1, hw, hw, 3), (1, 3, 3)])
+        codec.update()
+        return codec
+
+    def _batch(self, seed, b=2, hw=64, scale=1.0):
+        rng = np.random.RandomState(seed)
+        x1 = jnp.asarray(rng.rand(b, hw, hw, 3) * scale, jnp.float32)
+        x2 = jnp.asarray(rng.rand(b, hw, hw, 3) * scale, jnp.float32)
+        h = jnp.tile(jnp.eye(3)[None], (b, 1, 1))
+        return x1, x2, h
+
+    def test_alternating_payload_sizes_converge(self):
+        codec = self._codec()
+        small = self._batch(30, scale=0.8)
+        big = self._batch(31, scale=2.5)
+        # seed via sync on the small batch
+        codec.compress_fast_finish(codec.compress_fast_start(*small))
+        fallbacks = 0
+        for i in range(8):
+            bt = big if i % 2 == 0 else small
+            out = codec.compress_fast_finish(
+                codec.compress_fast_start(*bt))
+            fallbacks += 1 if out.get("fallback") else 0
+            # containers stay byte-identical to the exact path
+            ref = codec.compress_fast(*bt, batch_container=True)
+            assert out["blob"] == ref["blob"]
+            # ... and the sync re-encode inside compress_fast must not
+            # erase the watermark: re-seed it after the byte check
+            codec.compress_fast_finish(codec.compress_fast_start(*bt))
+        # the first big batch may overflow the small seed once; after
+        # the watermark absorbs it, alternation must be fallback-free
+        assert fallbacks <= 1, f"sticky watermark thrashing: {fallbacks}"
+
+    def test_update_sticky_watermark_and_decay(self):
+        from hesic_tpu.models.hesic_fast import _STICKY_DECAY
+        codec = self._codec()
+        codec._sticky = None
+        codec._clean_batches = 0
+        codec._z8_hold = 0
+        codec._update_sticky(8, 8, 256, 512, 100, 100,
+                              32000, 32000, True)
+        hi = dict(codec._sticky)
+        assert hi["cap1"] >= 112              # 12.5% headroom applied
+        # a smaller batch must NOT shrink the watermark mid-window
+        codec._update_sticky(8, 8, 256, 512, 20, 20,
+                                  3200, 3200, True)
+        assert codec._sticky["cap1"] == hi["cap1"]
+        assert codec._sticky["bucket1"] == hi["bucket1"]
+        # ... but after _STICKY_DECAY clean batches it re-derives
+        for _ in range(_STICKY_DECAY):
+            codec._update_sticky(8, 8, 256, 512, 20, 20,
+                                  3200, 3200, True)
+        assert codec._sticky["cap1"] < hi["cap1"]
+        assert codec._sticky["bucket1"] < hi["bucket1"]
+
+    def test_zbits_hold_after_overflow(self):
+        from hesic_tpu.models.hesic_fast import _STICKY_DECAY
+        codec = self._codec()
+        codec._sticky = None
+        codec._clean_batches = 0
+        codec._z8_hold = 0
+        codec._update_sticky(8, 8, 256, 512, 50, 50, 800, 800, True)
+        assert codec._sticky["zbits"] == 4
+        # overflow arms the hold: byte packing sticks for a window
+        codec._update_sticky(8, 8, 256, 512, 50, 50, 800, 800, False)
+        assert codec._sticky["zbits"] == 8
+        for _ in range(_STICKY_DECAY - 1):
+            codec._update_sticky(8, 8, 256, 512, 50, 50, 800, 800, True)
+            assert codec._sticky["zbits"] == 8
+        codec._update_sticky(8, 8, 256, 512, 50, 50, 800, 800, True)
+        assert codec._sticky["zbits"] == 4
