@@ -350,3 +350,31 @@ def warp_perspective_mxu(src, m, dsize, win: int = 64,
     out = blocks.transpose(1, 0, 2, 3, 4).reshape(b, ho_pad, wo_eff, c)
     return (out[:, :ho, :wo].astype(jnp.float32),
             overflow + jnp.sum(ovf_x))
+
+
+def warp_perspective_train(src, m, dsize=None, dtype=None, win: int = 64):
+    """Differentiation-friendly homography warp for model forwards.
+
+    Drop-in for ``warp_perspective`` inside training/likelihood paths.
+    The pure-JAX gather warp's VJP materializes (B, H, W, 2, 2, C) tap
+    blocks whose tiny minor dims tile-pad 64-128x on TPU: the backward
+    at (8, 512, 512, 3) needs 54 GB of HLO temps and only compiles
+    under heavy remat (measured 24 s/train-step, BENCH_MODE=train).
+    The banded one-hot contraction differentiates into matmuls instead:
+    measured fwd 11.6 ms bf16 / 88 ms f32-HIGHEST vs 58 ms gather fwd
+    (backward 24 ms bf16 / 85 ms f32), and the f32 path matches the
+    gather warp to 1.8e-7 max abs (exact bilinear weights, HIGHEST-
+    precision f32 contractions).
+
+    ``dtype`` follows the owning module's transform dtype: bf16
+    training gets the fast bf16 warp (consistent with its bf16 convs),
+    f32 gets near-exact f32.  ``win`` bounds the vertical source
+    displacement the banded contraction can express (64 px covers
+    stereo-rig homographies; raise for extreme geometry — overflowed
+    taps are masked to zero, as the codec side counts via
+    ``pick_warp_win``)."""
+    if dsize is None:
+        dsize = (src.shape[1], src.shape[2])
+    return warp_perspective_mxu(
+        src, m, dsize, win,
+        compute_dtype=(dtype or jnp.float32))[0]

@@ -22,7 +22,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ..entropy_models import EntropyBottleneck, GaussianMixtureConditional
-from ..geometry import warp_perspective
+from ..geometry import warp_perspective_train
 from ..layers import GDN, Conv, Deconv, ResidualBlock, conv3x3
 from ..ops import quantize
 
@@ -287,7 +287,8 @@ class HESIC(nn.Module):
         reproducible conditioning, reference newnet1.py:753-756).
         Eval-mode quantization (dequantize, no means)."""
         size = (x1_hat.shape[1], x1_hat.shape[2])
-        x1_warp_aftercodec = warp_perspective(x1_hat, h_matrix, size)
+        x1_warp_aftercodec = warp_perspective_train(x1_hat, h_matrix,
+                                            size, self.dtype)
         y1_warpf2 = self.encoder1(x1_warp_aftercodec)
         return quantize(y1_warpf2, "dequantize")
 
@@ -304,11 +305,12 @@ class HESIC(nn.Module):
         x1_hat = self.decoder1(y1_hat)
 
         # right eye, conditioned through the homography warp
-        x1_warp = warp_perspective(x1, h_matrix, size)
+        x1_warp = warp_perspective_train(x1, h_matrix, size, self.dtype)
         y2 = self.encoder2(x1_warp, x2)
 
         # decoder-reproducible cross-eye prior from the decoded left view
-        x1_warp_aftercodec = warp_perspective(x1_hat, h_matrix, size)
+        x1_warp_aftercodec = warp_perspective_train(x1_hat, h_matrix,
+                                            size, self.dtype)
         y1_warpf2 = self.encoder1(x1_warp_aftercodec)
         if training:
             y1_hat_warpf2 = quantize(y1_warpf2, "noise",
@@ -322,7 +324,8 @@ class HESIC(nn.Module):
         y2_hat, y2_lik = self.gaussian2(y2, sigma2, means2, weights2,
                                         training=training)
 
-        x1_hat_warp = warp_perspective(x1_hat, h_matrix, size)
+        x1_hat_warp = warp_perspective_train(x1_hat, h_matrix, size,
+                                     self.dtype)
         x2_hat = self.decoder2(y2_hat, x1_hat_warp)
 
         return {
@@ -368,12 +371,16 @@ class IndependentEnhancement(nn.Module):
     """Stage-2 cross-enhancement of both reconstructions
     (Independent_EN, reference newnet1.py:1278-1300)."""
 
+    dtype: object = None
+
     @nn.compact
     def __call__(self, x1_hat, x2_hat, h_matrix):
         size1 = (x1_hat.shape[1], x1_hat.shape[2])
-        x1_hat_warp = warp_perspective(x1_hat, h_matrix, size1)
+        x1_hat_warp = warp_perspective_train(x1_hat, h_matrix, size1,
+                                             self.dtype)
         h_inv = jnp.linalg.inv(h_matrix)
-        x2_hat_warp = warp_perspective(x2_hat, h_inv, size1)
+        x2_hat_warp = warp_perspective_train(x2_hat, h_inv, size1,
+                                             self.dtype)
         x1_out = Enhancement()(x1_hat, x2_hat_warp)
         x2_out = Enhancement()(x2_hat, x1_hat_warp)
         return {"x1_hat": x1_out, "x2_hat": x2_out}

@@ -25,7 +25,7 @@ import numpy as np
 from flax import linen as nn
 
 from ..entropy_models import EntropyBottleneck, GaussianConditional
-from ..geometry import warp_perspective
+from ..geometry import warp_perspective, warp_perspective_train
 from ..layers import Conv, Deconv, MaskedConv2d
 from ..ops import quantize
 from .autoregressive import ar_compress, ar_decompress
@@ -147,7 +147,8 @@ class HESICPlus(nn.Module):
         """Decoder-reproducible cross-eye prior (newnet1_joint.py:714-718),
         eval-mode quantization."""
         size = (x1_hat.shape[1], x1_hat.shape[2])
-        x1_warp_aftercodec = warp_perspective(x1_hat, h_matrix, size)
+        x1_warp_aftercodec = warp_perspective_train(x1_hat, h_matrix,
+                                            size, self.dtype)
         y1_warpf2 = self.encoder1(x1_warp_aftercodec)
         return quantize(y1_warpf2, "dequantize")
 
@@ -172,12 +173,13 @@ class HESICPlus(nn.Module):
         x1_hat = self.decoder1(y1_hat)
 
         # right eye
-        x1_warp = warp_perspective(x1, h_matrix, size)
+        x1_warp = warp_perspective_train(x1, h_matrix, size, self.dtype)
         y2 = self.encoder2(x1_warp, x2)
         z2 = self.hyper_analysis2(y2)
         z2_hat, z2_lik = self.entropy_bottleneck2(z2, training=training)
 
-        x1_warp_aftercodec = warp_perspective(x1_hat, h_matrix, size)
+        x1_warp_aftercodec = warp_perspective_train(x1_hat, h_matrix,
+                                            size, self.dtype)
         y1_warpf2 = self.encoder1(x1_warp_aftercodec)
         if training:
             y1_hat_warpf2 = quantize(y1_warpf2, "noise",
@@ -197,7 +199,8 @@ class HESICPlus(nn.Module):
         _, y2_lik = self.gaussian_conditional2(y2, scales2, means=means2,
                                                training=training)
 
-        x1_hat_warp = warp_perspective(x1_hat, h_matrix, size)
+        x1_hat_warp = warp_perspective_train(x1_hat, h_matrix, size,
+                                     self.dtype)
         x2_hat = self.decoder2(y2_hat, x1_hat_warp)
 
         return {
