@@ -622,6 +622,12 @@ def main():
     # has all bucket executables warm for the same reason.
     for p1, p2 in pool[:pool_n]:
         out = codec.compress_fast(p1, p2, h, batch_container=True)
+        # decode every DISTINCT pool batch too: decode executables are
+        # keyed by (watermarked) payload-size buckets, so a payload
+        # bucket first seen mid-loop would pay its remote compile
+        # inside the timed region (measured 6.5 s for dec2+synth) —
+        # steady-state serving has these warm for the same reason
+        codec.decompress_fast_batch(out["blob"])
     # one untimed pipelined epoch over the pool: compiles the
     # sticky-derived pack keys along the same drift path the timed
     # loop will take

@@ -156,6 +156,16 @@ def _bucket_q4(n: int, lo: int = 4096) -> int:
     return -(-n >> k) << k       # ceil to a multiple of 2^k
 
 
+def _pad_to(a, n: int):
+    """Zero-pad a 1-D numpy array to length n (decode-side size
+    bucketing: exact payload lengths would key fresh executables)."""
+    if a.size == n:
+        return a
+    out = np.zeros(n, a.dtype)
+    out[: a.size] = a
+    return out
+
+
 def _bucket_cap(c: int) -> int:
     """Round a word capacity up to a bucket (compile-count control vs
     padded-transfer overhead: 16-word granularity keeps the padding
@@ -609,6 +619,9 @@ class HESICFastCodec(HESICCodec):
         # the nibble-packing hold-off armed by a z-range overflow
         self._clean_batches = 0
         self._z8_hold = 0
+        # decoder-side size watermarks (see _dec_bucket)
+        self._dec_marks: dict = {}
+        self._dec_decodes = 0
         # observability: byte sizes of the last packed link transfers
         # (bench.py publishes the arithmetic link ceiling from these)
         self.last_link_bytes = {"d2h": 0, "h2d": 0}
@@ -1474,6 +1487,29 @@ class HESICFastCodec(HESICCodec):
             "enctime": time.time() - start,
         }
 
+    def _dec_bucket(self, key: str, need: int, lo: int = 16) -> int:
+        """Decoder-side size bucketing with an instance watermark.
+
+        Decode executables are shape-keyed by the rebuilt word-buffer
+        capacity and the padded payload length; tight 16-word buckets
+        meant every realistic batch-to-batch payload change compiled a
+        FRESH remote executable inside the serving loop (measured
+        6.5 s for dec2+synth, 1.2 s for unpack — the BENCH_H=real and
+        BENCH_CKPT loops spent more time compiling than decoding).
+        Quarter-pow2 buckets bound the executable count
+        logarithmically, and the watermark pins repeat workloads to
+        ONE set; padding costs device HBM for the word buffers and
+        ≤ 12.5% on the h2d payload vector.  Watermarks decay every
+        ``_STICKY_DECAY`` decodes like the encoder's."""
+        b = _bucket_q4(need, lo=lo)
+        self._dec_decodes += 1
+        if self._dec_decodes % _STICKY_DECAY == 0:
+            self._dec_marks[key] = b
+        else:
+            b = self._dec_marks[key] = max(
+                b, self._dec_marks.get(key, 0))
+        return b
+
     def _update_sticky(self, mm1, mm2, cap, wdim, c1max, c2max,
                        need1, need2, z_fit):
         """Seed the sticky shapes for the NEXT pipelined encode.
@@ -1509,9 +1545,11 @@ class HESICFastCodec(HESICCodec):
             self._z8_hold -= 1
         self._sticky = {
             "mm1": mm1, "mm2": mm2, "cap": cap, "wdim": wdim,
-            "cap1": min(mark(_bucket_cap(c1max * 9 // 8), "cap1"),
+            # quarter-pow2 like the decode side: a 16-word cap bucket
+            # keys a fresh pack executable per mild payload change
+            "cap1": min(mark(_bucket_q4(c1max * 9 // 8, lo=16), "cap1"),
                         wdim),
-            "cap2": min(mark(_bucket_cap(c2max * 9 // 8), "cap2"),
+            "cap2": min(mark(_bucket_q4(c2max * 9 // 8, lo=16), "cap2"),
                         wdim),
             "bucket1": mark(-(-_bucket_q4(need1 * 9 // 8) // g) * g,
                             "bucket1"),
@@ -1784,8 +1822,14 @@ class HESICFastCodec(HESICCodec):
 
         flat1, c1, st1, off = read_stream(off)
         flat2, c2, st2, off = read_stream(off)
-        cap1 = _bucket_cap(int(c1.max()))
-        cap2 = _bucket_cap(int(c2.max()))
+        cap1 = self._dec_bucket("cap1", int(c1.max()))
+        cap2 = self._dec_bucket("cap2", int(c2.max()))
+        # pad the dense payload segments to watermarked buckets too —
+        # their exact lengths are part of the unpack executable's key
+        flat1 = _pad_to(flat1, self._dec_bucket("flat1", flat1.size,
+                                                lo=4096))
+        flat2 = _pad_to(flat2, self._dec_bucket("flat2", flat2.size,
+                                                lo=4096))
         t = _tick("dec/words-rebuild", t)
         (z1_seg, z1_kind), (z2_seg, z2_kind) = (
             _z_link_segment(z) for z in (z1_np, z2_np))
@@ -1940,7 +1984,8 @@ class HESICFastCodec(HESICCodec):
         def stack_streams(parts):
             # cap-major (B, CAP, lanes): the layout the decode kernel and
             # the batch container use
-            cap = _bucket_cap(max(p[0].shape[1] for p in parts))
+            cap = self._dec_bucket(
+                "pp_cap", max(p[0].shape[1] for p in parts))
             words = np.zeros((len(parts), cap, parts[0][0].shape[0]),
                              np.int32)
             for i, (w, _, _) in enumerate(parts):
